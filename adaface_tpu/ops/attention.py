@@ -1,0 +1,307 @@
+"""Attention ops: XLA reference SDPA + Pallas TPU flash attention.
+
+Design notes (tpu-first, not a port):
+
+- The hot path (SD1.5 UNet self-attention over 4096/1024/256/64 image tokens)
+  runs a Pallas flash-attention kernel: online softmax, K/V streamed through
+  VMEM in blocks, fp32 accumulation on the MXU, head dim padded to the
+  128-lane boundary inside the kernel.
+- Capture paths (the reference's `AttnProcessor_LoRA_Capture` slow path that
+  returns attention scores/probs, `adaface/diffusers_attn_lora_capture.py:
+  274-343`) use the XLA reference implementation with `return_probs=True` —
+  materializing probs is inherently O(S²) so there is nothing for a fused
+  kernel to win there.
+- Backward: `flash_attention` carries a custom VJP whose backward recomputes
+  attention with the XLA path (flash-style rematerialization: no O(S²) probs
+  are stored between fwd and bwd).
+
+Masking: a key-validity mask `kv_mask` [B, Sk] (1=keep, 0=drop) covers both
+prompt padding and the reference's self-attention `img_mask`
+(`diffusers_attn_lora_capture.py:254-273`), plus an optional causal flag for
+the CLIP text encoder.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Reference (XLA) implementation
+# ---------------------------------------------------------------------------
+
+
+def scaled_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None = None,
+    bias: jax.Array | None = None,
+    causal: bool = False,
+    scale: float | None = None,
+    return_probs: bool = False,
+):
+    """SDPA on [B, H, S, D] tensors; softmax in fp32.
+
+    Returns out [B,H,Sq,D]; with return_probs=True also (scores, probs)
+    each [B,H,Sq,Sk] (pre-softmax scaled scores and post-softmax probs).
+    """
+    *_, sq, d = q.shape
+    sk = k.shape[-2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    if kv_mask is not None:
+        # mask==1 -> keep; mask==0 -> NEG_INF
+        s = jnp.where(kv_mask[:, None, None, :] > 0, s, NEG_INF)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        s = jnp.where((cols <= rows + (sk - sq))[None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+    if return_probs:
+        return out, s, p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (TPU)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    kv_len_ref,  # SMEM (1,1): true (unpadded) kv length
+    q_ref,  # (1, 1, bq, dp)
+    k_ref,  # (1, 1, bk, dp)
+    v_ref,  # (1, 1, bk, dp)
+    mask_ref,  # (1, 1, bk) f32 1/0
+    o_ref,  # (1, 1, bq, dp)
+    m_scratch,  # (bq, 128) f32
+    l_scratch,  # (bq, 128) f32
+    acc_scratch,  # (bq, dp) f32
+    *,
+    scale: float,
+    causal: bool,
+    bq: int,
+    bk: int,
+):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * jnp.float32(scale)
+
+    # key-validity mask (padding + user kv_mask)
+    mask = mask_ref[0, 0]  # (bk,)
+    s = jnp.where(mask[None, :] > 0, s, NEG_INF)
+
+    if causal:
+        iq = pl.program_id(2)
+        kv_len = kv_len_ref[0]
+        q_len = pl.num_programs(2) * bq
+        rows = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(cols <= rows + (kv_len - q_len), s, NEG_INF)
+
+    m_prev = m_scratch[:, :1]
+    l_prev = l_scratch[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    corr = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+
+    v = v_ref[0, 0]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scratch[:] = acc_scratch[:] * corr + pv
+    m_scratch[:] = jnp.broadcast_to(m_next, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_scratch[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_forward(
+    q, k, v, kv_mask, causal: bool, scale: float, bq: int, bk: int, interpret: bool
+):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    dp = _round_up(d, 128)
+    bq = min(bq, _round_up(sq, 128))
+    bk = min(bk, _round_up(sk, 128))
+    sq_p = _round_up(sq, bq)
+    sk_p = _round_up(sk, bk)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, dp - d)))
+
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, sk), jnp.float32)
+    maskp = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, sk_p - sk)))
+    maskp = maskp[:, None, :]  # [B, 1, Sk] so the block's trailing dims tile
+
+    grid = (b, h, sq_p // bq, sk_p // bk)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, bq=bq, bk=bk
+    )
+    kv_len = jnp.array([sk], jnp.int32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, dp), lambda b_, h_, iq, ik, _kv: (b_, h_, iq, 0)),
+                pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, iq, ik, _kv: (b_, h_, ik, 0)),
+                pl.BlockSpec((1, 1, bk, dp), lambda b_, h_, iq, ik, _kv: (b_, h_, ik, 0)),
+                pl.BlockSpec((1, 1, bk), lambda b_, h_, iq, ik, _kv: (b_, 0, ik)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, dp), lambda b_, h_, iq, ik, _kv: (b_, h_, iq, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, dp), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, dp), q.dtype),
+        interpret=interpret,
+    )(kv_len, qp, kp, vp, maskp)
+    return out[:, :, :sq, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, kv_mask, causal, scale, bq, bk, interpret):
+    return _flash_forward(q, k, v, kv_mask, causal, scale, bq, bk, interpret)
+
+
+def _flash_fwd(q, k, v, kv_mask, causal, scale, bq, bk, interpret):
+    out = _flash_forward(q, k, v, kv_mask, causal, scale, bq, bk, interpret)
+    return out, (q, k, v, kv_mask)
+
+
+def _flash_bwd(causal, scale, bq, bk, interpret, res, g):
+    q, k, v, kv_mask = res
+    # Rematerialize attention with the XLA path for the backward pass.
+    def ref(q, k, v):
+        return scaled_dot_product_attention(
+            q, k, v, kv_mask=kv_mask, causal=causal, scale=scale
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None = None,
+    causal: bool = False,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention on [B,H,S,D]; Pallas kernel fwd, remat XLA bwd."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_attention(
+        q, k, v, kv_mask, causal, float(scale), block_q, block_k, interpret
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None = None,
+    bias: jax.Array | None = None,
+    causal: bool = False,
+    scale: float | None = None,
+    return_probs: bool = False,
+    use_flash: bool | None = None,
+):
+    """Dispatch between the Pallas flash kernel and the XLA reference.
+
+    Flash is used on TPU for plain (no bias, no prob-capture) attention with
+    q-length >= 256; everything else (CLIP text, capture paths, tiny levels)
+    goes through XLA, which fuses those shapes well on its own.
+    """
+    if use_flash is None:
+        use_flash = (
+            _on_tpu()
+            and not return_probs
+            and bias is None
+            and q.shape[-2] >= 256
+        )
+    if use_flash:
+        return flash_attention(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale)
+    return scaled_dot_product_attention(
+        q,
+        k,
+        v,
+        kv_mask=kv_mask,
+        bias=bias,
+        causal=causal,
+        scale=scale,
+        return_probs=return_probs,
+    )
