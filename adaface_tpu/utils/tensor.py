@@ -1,0 +1,75 @@
+"""Small tensor utilities shared across the framework.
+
+JAX equivalents of the reference's `adaface/util.py` / `ldm/util.py` helpers:
+- perturb_tensor   (`adaface/util.py:30-53`)  — relative-std noise injection
+- gradient_scale   (`adaface/util.py:97-141` GradientScaler) — identity fwd,
+  scaled grad bwd, as a custom_vjp instead of an autograd Function
+- ortho_subtract   (`ldm/util.py:296`) — remove the component of a along b
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def perturb_tensor(
+    rng: jax.Array,
+    x: jax.Array,
+    perturb_std: float,
+    std_is_relative: bool = True,
+    keep_norm: bool = False,
+) -> jax.Array:
+    """Add gaussian noise to x; std relative to x's own std by default.
+
+    With keep_norm, rescale the result back to x's Frobenius norm so only the
+    direction is perturbed.
+    """
+    if perturb_std == 0.0:
+        return x
+    std = perturb_std * jnp.std(x) if std_is_relative else jnp.asarray(perturb_std)
+    noise = jax.random.normal(rng, x.shape, x.dtype) * std.astype(x.dtype)
+    out = x + noise
+    if keep_norm:
+        out = out * (jnp.linalg.norm(x) / (jnp.linalg.norm(out) + 1e-8))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def gradient_scale(x, scale: float):
+    """Identity in the forward pass; multiplies the cotangent by `scale`.
+
+    scale=0 is equivalent to stop_gradient; scale>1 amplifies the gradient
+    signal into `x` (used for e.g. the 5x hidden-state-layer-weight grads,
+    `subj_basis_generator.py:772-789`, and 10x cross_attn_scale_factor grads).
+    """
+    return x
+
+
+def _gs_fwd(x, scale):
+    return x, None
+
+
+def _gs_bwd(scale, _, g):
+    return (jax.tree_util.tree_map(lambda t: t * scale, g),)
+
+
+gradient_scale.defvjp(_gs_fwd, _gs_bwd)
+
+
+def gen_gradient_scaler(scale: float):
+    """Returns fn(x) applying gradient_scale; scale<=0 → stop_gradient."""
+    if scale <= 0:
+        return jax.lax.stop_gradient
+    if scale == 1:
+        return lambda x: x
+    return lambda x: gradient_scale(x, float(scale))
+
+
+def ortho_subtract(a: jax.Array, b: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """a minus its projection onto b, along the last axis."""
+    dot = jnp.sum(a * b, axis=-1, keepdims=True)
+    norm_sq = jnp.sum(b * b, axis=-1, keepdims=True)
+    return a - dot / (norm_sq + eps) * b
