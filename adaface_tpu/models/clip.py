@@ -33,6 +33,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from adaface_tpu.ops.resize import resize_nearest
 from adaface_tpu.utils.tensor import perturb_tensor
 
 Params = dict[str, Any]
@@ -368,7 +369,7 @@ def vision_encode(
     token_mask = None
     if image_mask is not None:
         m = image_mask.astype(jnp.float32)[:, None]  # [B,1,H,W]
-        m = jax.image.resize(m, (b, 1, g, g), method="nearest")
+        m = resize_nearest(m, (g, g))
         token_mask = jnp.concatenate(
             [jnp.ones((b, 1, 1), jnp.float32), m.reshape(b, 1, g * g)], axis=-1
         )  # [B,1,S]

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from adaface_tpu.ops.attention import multi_head_attention
+from adaface_tpu.ops.resize import resize_nearest, upsample2x_nearest
 from adaface_tpu.utils.tensor import gen_gradient_scaler, gradient_scale
 
 Params = dict[str, Any]
@@ -518,8 +519,7 @@ def _resize_img_mask(img_mask: jax.Array | None, h: int, w: int):
     """[B,1,H0,W0] → flat [B, h*w] key mask; None if empty."""
     if img_mask is None:
         return None
-    m = jax.image.resize(img_mask.astype(jnp.float32),
-                         (img_mask.shape[0], 1, h, w), method="nearest")
+    m = resize_nearest(img_mask.astype(jnp.float32), (h, w))
     return m.reshape(m.shape[0], h * w)
 
 
@@ -605,9 +605,7 @@ def unet_apply(
                     captured.setdefault("outfeat", {})[label] = (
                         h.transpose(0, 3, 1, 2))
         if "upsample" in blk:
-            b_, hh, ww, cc = h.shape
-            h = jax.image.resize(h, (b_, hh * 2, ww * 2, cc), method="nearest")
-            h = conv2d(blk["upsample"], h)
+            h = conv2d(blk["upsample"], upsample2x_nearest(h))
 
     h = jax.nn.silu(group_norm(params["conv_norm_out"], h, cfg.norm_groups,
                                cfg.norm_eps))
