@@ -1,0 +1,159 @@
+"""Text→image diffusion pipeline (SD1.5), fully jitted.
+
+The TPU-native replacement for the diffusers `StableDiffusionPipeline` the
+reference wraps (`adaface/adaface_wrapper.py:101-277`): prompt encoding,
+the whole 25/50-step CFG DDIM loop, and VAE decode compile into two XLA
+programs (text+loop, decode) with zero host round-trips in between.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaface_tpu.models import clip as clip_mod
+from adaface_tpu.models.unet import SD15_UNET, UNetConfig, unet_apply
+from adaface_tpu.models.vae import SD_VAE, VAEConfig, vae_decode
+from adaface_tpu.ops.samplers import DDIMConfig, ddim_sample
+from adaface_tpu.ops.schedules import DiffusionSchedule
+from adaface_tpu.text.tokenizer import CLIPTokenizer, default_tokenizer
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass
+class PipelineModules:
+    unet: Params
+    vae: Params
+    text_encoder: Params
+    tokenizer: CLIPTokenizer
+    unet_cfg: UNetConfig = SD15_UNET
+    vae_cfg: VAEConfig = SD_VAE
+    text_cfg: clip_mod.CLIPTextConfig = clip_mod.CLIP_L_TEXT
+    schedule: DiffusionSchedule | None = None
+
+    def __post_init__(self):
+        if self.schedule is None:
+            self.schedule = DiffusionSchedule.create()
+
+    @classmethod
+    def random_init(cls, rng: jax.Array, dtype=jnp.bfloat16,
+                    unet_cfg: UNetConfig = SD15_UNET,
+                    vae_cfg: VAEConfig = SD_VAE,
+                    text_cfg: clip_mod.CLIPTextConfig = clip_mod.CLIP_L_TEXT):
+        """Random-weight pipeline (benchmarks, tests)."""
+        from adaface_tpu.models.unet import init_unet_params
+        from adaface_tpu.models.vae import init_vae_params
+
+        k1, k2, k3 = jax.random.split(rng, 3)
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        return cls(
+            unet=cast(init_unet_params(k1, unet_cfg)),
+            vae=cast(init_vae_params(k2, vae_cfg)),
+            text_encoder=cast(clip_mod.init_text_params(k3, text_cfg)),
+            tokenizer=default_tokenizer(),
+            unet_cfg=unet_cfg, vae_cfg=vae_cfg, text_cfg=text_cfg,
+        )
+
+
+class DiffusionPipeline:
+    def __init__(self, modules: PipelineModules, dtype=jnp.bfloat16):
+        self.m = modules
+        self.dtype = dtype
+        self._generate = None
+        self._decode = jax.jit(
+            lambda vae, z: vae_decode(vae, z, self.m.vae_cfg))
+
+    # ---------------------------------------------------------------- text
+    def encode_prompt(
+        self, prompts: list[str], negative_prompts: list[str] | None = None,
+        max_length: int = 77,
+    ):
+        """→ (cond [B,S,D], uncond [B,S,D]|None) (`encode_prompt`,
+        `adaface_wrapper.py:671-727`)."""
+        ids = jnp.asarray(self.m.tokenizer(prompts, max_length=max_length))
+        cond = clip_mod.text_encode(
+            self.m.text_encoder, ids, self.m.text_cfg
+        )["last_hidden_state"].astype(self.dtype)
+        uncond = None
+        if negative_prompts is not None:
+            nids = jnp.asarray(self.m.tokenizer(negative_prompts,
+                                                max_length=max_length))
+            uncond = clip_mod.text_encode(
+                self.m.text_encoder, nids, self.m.text_cfg
+            )["last_hidden_state"].astype(self.dtype)
+        return cond, uncond
+
+    # ------------------------------------------------------------ sampling
+    def _build_generate(self, ddim_cfg: DDIMConfig):
+        unet_cfg = self.m.unet_cfg
+        schedule = self.m.schedule
+
+        def model_fn_factory(unet_params):
+            def model_fn(x, t, ctx):
+                eps, _ = unet_apply(unet_params, x, t, ctx, unet_cfg)
+                return eps
+            return model_fn
+
+        @functools.partial(jax.jit, static_argnames=())
+        def generate(unet_params, cond, uncond, x_T, rng):
+            return ddim_sample(
+                model_fn_factory(unet_params), schedule, x_T,
+                cond_ctx=cond, uncond_ctx=uncond, cfg=ddim_cfg, rng=rng,
+            )
+
+        return generate
+
+    def __call__(
+        self,
+        prompts: str | list[str],
+        negative_prompt: str = "",
+        num_inference_steps: int = 50,
+        guidance_scale: float = 6.0,
+        guidance_scale_min: float | None = None,
+        height: int = 512,
+        width: int = 512,
+        rng: jax.Array | None = None,
+        latents: jax.Array | None = None,
+        return_latents: bool = False,
+    ):
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        b = len(prompts)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k_lat, k_samp = jax.random.split(rng)
+        if latents is None:
+            s = self.m.vae_cfg.spatial_scale
+            latents = jax.random.normal(
+                k_lat, (b, 4, height // s, width // s), self.dtype)
+
+        cond, uncond = self.encode_prompt(
+            prompts, [negative_prompt] * b if guidance_scale > 1 else None)
+
+        ddim_cfg = DDIMConfig(
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            guidance_scale_min=guidance_scale_min,
+        )
+        key = (num_inference_steps, guidance_scale, guidance_scale_min)
+        if self._generate is None or self._gen_key != key:
+            self._generate = self._build_generate(ddim_cfg)
+            self._gen_key = key
+        z0 = self._generate(self.m.unet, cond, uncond, latents, k_samp)
+        if return_latents:
+            return z0
+        img = self._decode(self.m.vae, z0)
+        img = (img.astype(jnp.float32) + 1.0) / 2.0
+        return jnp.clip(img, 0.0, 1.0)
+
+    def to_pil(self, images: jax.Array):
+        from PIL import Image
+
+        arr = (np.asarray(images) * 255).astype(np.uint8).transpose(0, 2, 3, 1)
+        return [Image.fromarray(a) for a in arr]

@@ -1,0 +1,191 @@
+"""AdaFaceWrapper — the end-user inference facade.
+
+Rebuild of `adaface/adaface_wrapper.py` (809 LoC): builds a diffusion
+pipeline, extends the tokenizer with per-encoder placeholder tokens
+(`z_enc0_0 … z_enc0_15, z_enc1_0 … z_enc1_3`,
+`extend_tokenizer_and_text_encoder:415-457`), writes generated ada
+embeddings into the extended token-embedding table
+(`update_text_encoder_subj_embeddings:461-489`), appends the placeholder
+string to user prompts (`update_prompt:491-532`), and runs CFG generation
+(`forward:730-809`). Supports the img2img path (initial latents from a
+noised source image) and ada/img embedding mixing for ablations
+(`mix_ada_embs_with_other_embs:629-668`).
+
+Pipeline families other than SD1.5 (SDXL/SD3/Flux) keep the API surface but
+raise NotImplementedError, matching the trained/documented path of the
+reference (SURVEY §7 "what we do not port").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaface_tpu.inference.pipeline import DiffusionPipeline, PipelineModules
+from adaface_tpu.models.vae import vae_encode
+from adaface_tpu.text.embedding_manager import extend_token_embedding
+
+Params = dict[str, Any]
+
+SUPPORTED_PIPELINES = ("text2img", "img2img")
+
+
+class AdaFaceWrapper:
+    def __init__(
+        self,
+        pipeline_name: str,
+        modules: PipelineModules,
+        id2ada_prompt_encoder,
+        guidance_scale: float = 6.0,
+        num_inference_steps: int = 50,
+        out_id_embs_cfg_scale: float | None = None,
+        dtype=jnp.bfloat16,
+    ):
+        if pipeline_name in ("sdxl", "sd3", "flux"):
+            raise NotImplementedError(
+                f"pipeline '{pipeline_name}' keeps API parity but only the "
+                "trained SD1.5 path is implemented")
+        assert pipeline_name in SUPPORTED_PIPELINES, pipeline_name
+        self.pipeline_name = pipeline_name
+        self.pipeline = DiffusionPipeline(modules, dtype=dtype)
+        self.id2ada_prompt_encoder = id2ada_prompt_encoder
+        self.guidance_scale = guidance_scale
+        self.num_inference_steps = num_inference_steps
+        if out_id_embs_cfg_scale is not None:
+            id2ada_prompt_encoder.out_id_embs_cfg_scale = out_id_embs_cfg_scale
+        self.dtype = dtype
+        self.placeholder_tokens: list[list[str]] = []
+        self.placeholder_token_ids: list[list[int]] = []
+        self.extend_tokenizer_and_text_encoder()
+
+    # ------------------------------------------------------------------
+    def _encoder_list(self):
+        enc = self.id2ada_prompt_encoder
+        return getattr(enc, "encoders", [enc])
+
+    def extend_tokenizer_and_text_encoder(self):
+        """Add `z_{i}_{j}` placeholder tokens per encoder and grow the
+        embedding table (`adaface_wrapper.py:415-457`)."""
+        tok = self.pipeline.m.tokenizer
+        n_added = 0
+        for i, enc in enumerate(self._encoder_list()):
+            names = [f"z_{i}_{j}" for j in range(enc.num_id_vecs)]
+            ids = tok.add_tokens(names)
+            self.placeholder_tokens.append(names)
+            self.placeholder_token_ids.append(ids)
+            n_added += len(ids)
+        table = self.pipeline.m.text_encoder["token_embedding"]
+        need = tok.vocab_size - table.shape[0]
+        if need > 0:
+            self.pipeline.m.text_encoder["token_embedding"] = (
+                extend_token_embedding(table, need).astype(table.dtype))
+
+    def update_text_encoder_subj_embeddings(self, ada_embs: jax.Array):
+        """Write ada embeddings into the placeholder rows
+        (`adaface_wrapper.py:461-489`). ada_embs: [sum_K, D]."""
+        table = self.pipeline.m.text_encoder["token_embedding"]
+        offset = 0
+        for ids in self.placeholder_token_ids:
+            k = len(ids)
+            rows = jnp.asarray(ids)
+            table = table.at[rows].set(
+                ada_embs[offset:offset + k].astype(table.dtype))
+            offset += k
+        self.pipeline.m.text_encoder["token_embedding"] = table
+
+    def update_prompt(self, prompt: str) -> str:
+        """Append the placeholder strings unless already present
+        (`adaface_wrapper.py:491-532`)."""
+        ph = " ".join(" ".join(names) for names in self.placeholder_tokens)
+        if ph and ph not in prompt:
+            prompt = f"{prompt} {ph}" if prompt else ph
+        return prompt
+
+    # ------------------------------------------------------------------
+    def prepare_adaface_embeddings(
+        self,
+        images: Sequence[np.ndarray] | None = None,
+        face_id_embs=None,
+        update_text_encoder: bool = True,
+        avg_at_stage: str = "id_emb",
+        perturb_std: float = 0.0,
+    ):
+        """Images → ada embeddings (→ text-encoder rows)
+        (`adaface_wrapper.py:541-627`)."""
+        ada, _, _ = self.id2ada_prompt_encoder.generate_adaface_embeddings(
+            images=images, face_id_embs=face_id_embs,
+            avg_at_stage=avg_at_stage,
+            perturb_std=perturb_std,
+        )
+        if ada is None:
+            return None
+        if update_text_encoder:
+            self.update_text_encoder_subj_embeddings(ada)
+        return ada
+
+    def mix_ada_embs_with_other_embs(
+        self, ada_embs: jax.Array, other_embs: jax.Array, mix_scale: float
+    ) -> jax.Array:
+        """Ablation mixing (`mix_ada_embs_with_other_embs:629-668`)."""
+        return ada_embs * mix_scale + other_embs * (1.0 - mix_scale)
+
+    # ------------------------------------------------------------------
+    def __call__(self, *a, **kw):
+        return self.forward(*a, **kw)
+
+    def forward(
+        self,
+        prompt: str,
+        negative_prompt: str = ("flaws in the eyes, flaws in the face, lowres, "
+                                "non-HDRi, low quality"),
+        num_images: int = 1,
+        guidance_scale: float | None = None,
+        num_inference_steps: int | None = None,
+        init_image: np.ndarray | None = None,
+        strength: float = 0.8,
+        rng: jax.Array | None = None,
+        update_prompt: bool = True,
+        height: int = 512,
+        width: int = 512,
+    ):
+        """→ images [N, 3, H, W] in [0, 1]."""
+        if update_prompt:
+            prompt = self.update_prompt(prompt)
+        gs = guidance_scale if guidance_scale is not None else self.guidance_scale
+        steps = (num_inference_steps if num_inference_steps is not None
+                 else self.num_inference_steps)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        latents = None
+        if self.pipeline_name == "img2img":
+            assert init_image is not None
+            latents = self._img2img_latents(init_image, strength, steps, rng,
+                                            num_images)
+            steps = max(int(steps * strength), 1)
+        return self.pipeline(
+            [prompt] * num_images,
+            negative_prompt=negative_prompt,
+            num_inference_steps=steps,
+            guidance_scale=gs,
+            rng=rng,
+            latents=latents,
+            height=height,
+            width=width,
+        )
+
+    def _img2img_latents(self, init_image, strength, steps, rng, num_images):
+        img = jnp.asarray(init_image, jnp.float32)
+        if img.ndim == 3:
+            img = img[None]
+        img = img.transpose(0, 3, 1, 2) / 127.5 - 1.0
+        k1, k2 = jax.random.split(rng)
+        z = vae_encode(self.pipeline.m.vae, img.astype(self.dtype),
+                       self.pipeline.m.vae_cfg, rng=k1)
+        z = jnp.repeat(z, num_images, axis=0)
+        t0 = int(self.pipeline.m.schedule.num_timesteps * strength)
+        noise = jax.random.normal(k2, z.shape, z.dtype)
+        t = jnp.full((z.shape[0],), t0 - 1, jnp.int32)
+        return self.pipeline.m.schedule.q_sample(z, t, noise).astype(self.dtype)

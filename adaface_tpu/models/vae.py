@@ -39,6 +39,11 @@ class VAEConfig:
     norm_groups: int = 32
     norm_eps: float = 1e-6
 
+    @property
+    def spatial_scale(self) -> int:
+        """Pixel-to-latent downscale factor (8 for the SD VAE)."""
+        return 2 ** (len(self.ch_mult) - 1)
+
 
 SD_VAE = VAEConfig()
 

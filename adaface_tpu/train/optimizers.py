@@ -1,0 +1,278 @@
+"""Optimizers as optax transforms.
+
+Rebuilds of the reference's optimizer zoo (SURVEY §2.2):
+- cautious_adamw — "cautious" AdamW (`ldm/c_adamw.py`): the update is masked
+  wherever it disagrees in sign with the gradient, and renormalized by the
+  surviving fraction.
+- prodigy — D-adaptation Adam (`ldm/prodigy.py`; Mishchenko & Defazio,
+  "Prodigy: An Expeditiously Adaptive Parameter-Free Learner"): learns the
+  distance-to-solution scale d on the fly.
+- muon — Newton–Schulz orthogonalized momentum for ≥2-D weights with an aux
+  AdamW for the rest (the reference pulls `MuonWithAuxAdam` from pip and
+  gives matrix params 5× LR, `ddpm.py:3855-4020`).
+- warmup_cosine — LambdaWarmUpCosineScheduler equivalent
+  (`ldm/modules/lr_scheduler.py`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# cautious AdamW
+# ---------------------------------------------------------------------------
+
+
+def cautious(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Mask update components whose sign disagrees with the gradient
+    (`ldm/c_adamw.py`), rescaled by 1/mean(mask)."""
+
+    def init(params):
+        return inner.init(params)
+
+    def update(grads, state, params=None):
+        updates, state = inner.update(grads, state, params)
+
+        def mask(u, g):
+            m = (u * g < 0).astype(u.dtype)  # optax updates are -lr*step
+            # NOTE sign: optax updates are applied additively, while grads
+            # point uphill — agreement means u and g have opposite signs.
+            frac = m.mean()
+            return u * m / jnp.maximum(frac, 1e-3)
+
+        updates = jax.tree_util.tree_map(mask, updates, grads)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def cautious_adamw(
+    lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.005
+) -> optax.GradientTransformation:
+    return cautious(optax.adamw(lr, b1=b1, b2=b2, eps=eps,
+                                weight_decay=weight_decay))
+
+
+# ---------------------------------------------------------------------------
+# Prodigy
+# ---------------------------------------------------------------------------
+
+
+class ProdigyState(NamedTuple):
+    step: jax.Array
+    exp_avg: optax.Updates
+    exp_avg_sq: optax.Updates
+    s: optax.Updates
+    p0: optax.Updates  # initial params
+    d: jax.Array
+    d_max: jax.Array
+    numerator: jax.Array
+
+
+def prodigy(
+    lr: float = 1.0,
+    betas=(0.9, 0.999),
+    beta3: float | None = None,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    d0: float = 1e-6,
+    d_coef: float = 1.0,
+    growth_rate: float = float("inf"),
+    safeguard_warmup: bool = False,
+) -> optax.GradientTransformation:
+    b1, b2 = betas
+    if beta3 is None:
+        beta3 = b2 ** 0.5
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return ProdigyState(
+            step=jnp.zeros((), jnp.int32),
+            exp_avg=zeros,
+            exp_avg_sq=jax.tree_util.tree_map(jnp.zeros_like, params),
+            s=jax.tree_util.tree_map(jnp.zeros_like, params),
+            p0=jax.tree_util.tree_map(lambda x: x, params),
+            d=jnp.asarray(d0, jnp.float32),
+            d_max=jnp.asarray(d0, jnp.float32),
+            numerator=jnp.zeros((), jnp.float32),
+        )
+
+    def update(grads, state, params):
+        d, step = state.d, state.step + 1
+        dlr = d * lr
+
+        # numerator += (d / d0) * dlr * <g, p0 - p>
+        dot = sum(
+            jnp.vdot(g.astype(jnp.float32),
+                     (p0 - p).astype(jnp.float32))
+            for g, p0, p in zip(
+                jax.tree_util.tree_leaves(grads),
+                jax.tree_util.tree_leaves(state.p0),
+                jax.tree_util.tree_leaves(params),
+            )
+        )
+        numerator = state.numerator * beta3 + (d / d0) * dlr * dot
+
+        s = jax.tree_util.tree_map(
+            lambda s_, g: s_ * beta3 + g.astype(jnp.float32) * (d / d0) * dlr,
+            state.s, grads,
+        )
+        s_l1 = sum(jnp.abs(x).sum() for x in jax.tree_util.tree_leaves(s))
+        d_hat = jnp.where(s_l1 > 0, d_coef * numerator / (s_l1 + 1e-30), d)
+        d_next = jnp.clip(jnp.maximum(d, d_hat), max=d * growth_rate)
+        d_next = jnp.maximum(d_next, d)
+        d_max = jnp.maximum(state.d_max, d_next)
+
+        exp_avg = jax.tree_util.tree_map(
+            lambda m, g: m * b1 + g * d * (1 - b1), state.exp_avg, grads)
+        exp_avg_sq = jax.tree_util.tree_map(
+            lambda v, g: v * b2 + (g * d) ** 2 * (1 - b2), state.exp_avg_sq, grads)
+
+        def upd(m, v, p):
+            step_ = -dlr * m / (jnp.sqrt(v) + d * eps)
+            if weight_decay > 0:
+                step_ = step_ - dlr * weight_decay * p
+            return step_
+
+        updates = jax.tree_util.tree_map(upd, exp_avg, exp_avg_sq, params)
+        return updates, ProdigyState(
+            step=step, exp_avg=exp_avg, exp_avg_sq=exp_avg_sq, s=s,
+            p0=state.p0, d=d_next, d_max=d_max, numerator=numerator,
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+# ---------------------------------------------------------------------------
+# Muon
+# ---------------------------------------------------------------------------
+
+
+def _newton_schulz(g: jax.Array, steps: int = 5, eps: float = 1e-7) -> jax.Array:
+    """Orthogonalize via quintic Newton–Schulz iteration (public Muon)."""
+    a, b, c = 3.4445, -4.7750, 2.0315
+    x = g.astype(jnp.float32)
+    transposed = x.shape[0] > x.shape[1]
+    if transposed:
+        x = x.T
+    x = x / (jnp.linalg.norm(x) + eps)
+    for _ in range(steps):
+        xxt = x @ x.T
+        x = a * x + (b * xxt + c * xxt @ xxt) @ x
+    if transposed:
+        x = x.T
+    return x
+
+
+class MuonState(NamedTuple):
+    momentum: optax.Updates
+    adam: optax.OptState
+
+
+def muon(
+    lr: float = 0.02,
+    momentum: float = 0.95,
+    nesterov: bool = True,
+    adam_lr: float = 3e-4,
+    adam_b1: float = 0.9,
+    adam_b2: float = 0.95,
+    matrix_lr_mult: float = 1.0,
+) -> optax.GradientTransformation:
+    """Muon for ≥2-D weight matrices; AdamW for everything else."""
+    aux = optax.adam(adam_lr, b1=adam_b1, b2=adam_b2)
+
+    def is_matrix(x):
+        return x.ndim >= 2
+
+    def init(params):
+        mom = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p) if is_matrix(p) else None, params)
+        aux_params = jax.tree_util.tree_map(
+            lambda p: p if not is_matrix(p) else jnp.zeros((), p.dtype), params)
+        return MuonState(momentum=mom, adam=aux.init(aux_params))
+
+    def update(grads, state, params=None):
+        new_mom = jax.tree_util.tree_map(
+            lambda m, g: m * momentum + g if m is not None else None,
+            state.momentum, grads, is_leaf=lambda x: x is None,
+        )
+
+        def muon_update(m, g):
+            if m is None:
+                return None
+            eff = g + momentum * m if nesterov else m
+            mat = eff.reshape(eff.shape[0], -1)
+            o = _newton_schulz(mat).reshape(eff.shape)
+            scale = max(1.0, eff.shape[0] / max(mat.shape[1], 1)) ** 0.5
+            return -lr * matrix_lr_mult * scale * o.astype(g.dtype)
+
+        muon_updates = jax.tree_util.tree_map(
+            muon_update, new_mom, grads, is_leaf=lambda x: x is None)
+
+        aux_grads = jax.tree_util.tree_map(
+            lambda g, m: g if m is None else jnp.zeros((), g.dtype),
+            grads, state.momentum, is_leaf=lambda x: x is None)
+        aux_updates, aux_state = aux.update(aux_grads, state.adam)
+
+        updates = jax.tree_util.tree_map(
+            lambda mu, au: au if mu is None else mu,
+            muon_updates, aux_updates, is_leaf=lambda x: x is None)
+        return updates, MuonState(momentum=new_mom, adam=aux_state)
+
+    return optax.GradientTransformation(init, update)
+
+
+# ---------------------------------------------------------------------------
+# schedules
+# ---------------------------------------------------------------------------
+
+
+def warmup_cosine(
+    base_lr: float,
+    warmup_steps: int,
+    total_steps: int,
+    lr_min: float = 0.0,
+    lr_start: float = 0.0,
+) -> optax.Schedule:
+    """LambdaWarmUpCosineScheduler (`ldm/modules/lr_scheduler.py`)."""
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(lr_start, base_lr, warmup_steps),
+            optax.cosine_decay_schedule(
+                base_lr, max(total_steps - warmup_steps, 1),
+                alpha=lr_min / max(base_lr, 1e-12)),
+        ],
+        [warmup_steps],
+    )
+
+
+def make_optimizer(
+    name: str,
+    lr: float,
+    warmup_steps: int = 600,
+    total_steps: int = 120_000,
+    grad_clip: float = 0.2,
+    weight_decay: float = 0.005,
+    **kw,
+) -> optax.GradientTransformation:
+    """Optimizer factory mirroring `configure_optimizers`
+    (`ddpm.py:3855-4020`): grad clip 0.2 + warmup-cosine LR."""
+    sched = warmup_cosine(lr, warmup_steps, total_steps)
+    if name in ("cadamw", "cautious_adamw"):
+        core = cautious(optax.adamw(sched, weight_decay=weight_decay))
+    elif name == "adamw":
+        core = optax.adamw(sched, weight_decay=weight_decay)
+    elif name == "nadam":
+        core = optax.nadamw(sched, weight_decay=weight_decay)
+    elif name == "prodigy":
+        core = prodigy(lr=1.0, weight_decay=weight_decay, **kw)
+    elif name == "muon":
+        core = muon(lr=lr, **kw)
+    else:
+        raise ValueError(f"unknown optimizer '{name}'")
+    return optax.chain(optax.clip_by_global_norm(grad_clip), core)

@@ -1,0 +1,36 @@
+"""Host-side assembly of the 4-block training prompt batch.
+
+The reference's `LatentDiffusion.forward` builds delta-prompt batches of
+[subj_single, subj_comp, cls_single, cls_comp] (`ddpm.py:1355-1556`); here
+the token-level planning (ids, ada splice maps, emb masks) happens on host
+via the EmbeddingManager and ships to device as static-shaped arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from adaface_tpu.text.embedding_manager import EmbeddingManager
+
+
+def build_4block_prompt_batch(
+    em: EmbeddingManager,
+    subj_single: Sequence[str],
+    subj_comp: Sequence[str],
+    cls_single: Sequence[str],
+    cls_comp: Sequence[str],
+    max_length: int = 77,
+    placeholder: str | None = None,
+) -> dict[str, np.ndarray]:
+    """→ {'prompt_ids' [4B,S], 'splice_map' [4B,S], 'prompt_emb_mask'
+    [4B,S,1]} with block order ss ‖ sc ‖ cs ‖ cc."""
+    prompts = list(subj_single) + list(subj_comp) + list(cls_single) + list(cls_comp)
+    plan = em.plan(prompts, max_length=max_length)
+    placeholder = placeholder or em.placeholders[0].string
+    return {
+        "prompt_ids": plan["ids"],
+        "splice_map": plan["splice_maps"][placeholder],
+        "prompt_emb_mask": plan["prompt_emb_mask"],
+    }

@@ -1,0 +1,225 @@
+"""Jitted training steps (stage-1: normal-recon and unet-distill iterations).
+
+The reference's `training_step` → `shared_step` → `p_losses` pipeline
+(`ldm/models/diffusion/ddpm.py:434-2494`) is re-expressed as a small set of
+pure step functions selected by a host-side iteration plan (SURVEY §7:
+"probabilistic control flow → branch-by-schedule"): each iteration type is
+one jitted graph with static shapes; per-step randomness comes in through
+the batch (pre-sampled timesteps/noises) or an explicit PRNG key.
+
+The trainable pytree holds the SubjBasisGenerator(s) (+ optional UNet
+LoRAs); the UNet/VAE/CLIP towers are frozen inputs. Data parallelism:
+params replicated, batch sharded on the mesh 'dp' axis — XLA inserts the
+gradient psum automatically (replaces DDP/NCCL, SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from adaface_tpu.id2ada.subj_basis_generator import SubjBasisConfig, subj_basis_forward
+from adaface_tpu.models import clip as clip_mod
+from adaface_tpu.models.unet import AttnRuntime, UNetConfig, unet_apply
+from adaface_tpu.ops.schedules import DiffusionSchedule
+from adaface_tpu.text.embedding_manager import splice_ada_embeddings
+from adaface_tpu.train.losses import (
+    calc_prompt_emb_delta_loss,
+    calc_recon_and_suppress_losses,
+)
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    unet: UNetConfig = UNetConfig()
+    sbg: SubjBasisConfig = SubjBasisConfig()
+    clip_text: clip_mod.CLIPTextConfig = clip_mod.CLIP_L_TEXT
+    recon_bg_pixel_weight: float = 0.1
+    prompt_emb_delta_weight: float = 1e-4  # `v1-distill-joint-ada.yaml`
+    mb_suppress_weight: float = 0.1
+    unet_distill_weight: float = 8.0
+    clip_skip_weights: tuple = (0.25, 0.75)  # last-2-layer CLIP skip
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class State:
+    params: Params
+    opt_state: Any
+    step: jax.Array
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _encode_prompts_with_ada(
+    frozen: Params,
+    ada_embs: jax.Array,  # [B, K, D]
+    batch: Params,
+    cfg: TrainConfig,
+):
+    """Embed the 4-block prompts (ss/sc/cs/cc), splicing ada embeddings into
+    the subject blocks (`get_text_conditioning`, `ddpm.py:739-853`)."""
+    ids = batch["prompt_ids"]  # [4B, S]
+    splice_map = batch["splice_map"]  # [4B, S] (−1 on cls rows)
+    table = frozen["text_encoder"]["token_embedding"]
+    base = table[ids]
+    b = ada_embs.shape[0]
+    ada4 = jnp.concatenate(
+        [ada_embs, ada_embs, jnp.zeros_like(ada_embs), jnp.zeros_like(ada_embs)],
+        axis=0,
+    )
+    embs = splice_ada_embeddings(base, ada4, splice_map)
+    out = clip_mod.text_encode(
+        frozen["text_encoder"],
+        ids,
+        cfg.clip_text,
+        input_embs=embs,
+        skip_weights=jnp.asarray(cfg.clip_skip_weights),
+    )
+    return out["last_hidden_state"]
+
+
+def recon_loss_fn(
+    trainable: Params,
+    frozen: Params,
+    batch: Params,
+    schedule: DiffusionSchedule,
+    cfg: TrainConfig,
+    rng: jax.Array,
+):
+    """Normal-recon iteration loss (`calc_normal_recon_loss`,
+    `ddpm.py:2593-2883`, single-step variant).
+
+    batch (all device arrays, [B] leading unless noted):
+      x_start [B,4,64,64] latents; noise like x_start; t [B];
+      img_prompt_embs [B,K0,768] teacher image-prompt embeddings;
+      prompt_ids/splice_map/prompt_emb_mask [4B,…] 4-block prompts;
+      img_mask/fg_mask [B,1,64,64]; face_detected [B].
+    """
+    sbg = {"params": trainable["sbg"], "buffers": frozen["sbg_buffers"]}
+    ada = subj_basis_forward(
+        sbg, batch["img_prompt_embs"], cfg.sbg,
+        out_id_embs_cfg_scale=1.0, is_face=True,
+    )
+
+    ctx4 = _encode_prompts_with_ada(frozen, ada, batch, cfg)
+    b = batch["x_start"].shape[0]
+    ctx_subj = ctx4[:b]  # subject-single block conditions the denoise
+    ctx_cls = ctx4[2 * b:3 * b]  # class-single block for bg recon guidance
+
+    x_t = schedule.q_sample(batch["x_start"], batch["t"], batch["noise"])
+    subj_mask = (batch["splice_map"][:b] >= 0).astype(jnp.float32)
+
+    eps_pred, cap = unet_apply(
+        frozen["unet"], x_t, batch["t"], ctx_subj, cfg.unet,
+        rt=AttnRuntime(capture=True),
+        img_mask=batch.get("img_mask"),
+        subj_mask=subj_mask,
+    )
+    # class-conditioned prediction for background guidance (no grad)
+    eps_cls, _ = unet_apply(
+        jax.lax.stop_gradient(frozen["unet"]), x_t, batch["t"],
+        jax.lax.stop_gradient(ctx_cls), cfg.unet,
+    )
+
+    loss_recon, loss_recon_cls, loss_mb = calc_recon_and_suppress_losses(
+        batch["noise"], eps_pred, eps_cls, batch.get("face_detected"),
+        cap.get("attn", {}), subj_mask, batch.get("img_mask"),
+        batch.get("fg_mask"), cfg.recon_bg_pixel_weight,
+    )
+    loss_delta = calc_prompt_emb_delta_loss(ctx4, batch.get("prompt_emb_mask"))
+
+    loss = (
+        loss_recon
+        + 0.1 * loss_recon_cls
+        + cfg.mb_suppress_weight * loss_mb
+        + cfg.prompt_emb_delta_weight * loss_delta
+    )
+    metrics = {
+        "loss": loss,
+        "loss_recon": loss_recon,
+        "loss_recon_cls": loss_recon_cls,
+        "loss_mb_suppress": loss_mb,
+        "loss_prompt_emb_delta": loss_delta,
+    }
+    return loss, metrics
+
+
+def unet_distill_loss_fn(
+    trainable: Params,
+    frozen: Params,
+    batch: Params,
+    schedule: DiffusionSchedule,
+    cfg: TrainConfig,
+    rng: jax.Array,
+):
+    """UNet-distillation iteration (`calc_unet_distill_loss`,
+    `ddpm.py:2984-3184`, single-step): student denoises with ada prompts and
+    matches the teacher's noise prediction made with img-prompt embeddings.
+
+    batch additionally carries teacher_noise_pred [B,4,64,64] (precomputed
+    frozen-teacher outputs — the teacher runs in its own jit, possibly on
+    other devices).
+    """
+    sbg = {"params": trainable["sbg"], "buffers": frozen["sbg_buffers"]}
+    ada = subj_basis_forward(
+        sbg, batch["img_prompt_embs"], cfg.sbg,
+        out_id_embs_cfg_scale=1.0, is_face=True,
+        enable_static_img_suffix_embs=True,
+    )
+    ctx4 = _encode_prompts_with_ada(frozen, ada, batch, cfg)
+    b = batch["x_start"].shape[0]
+    x_t = schedule.q_sample(batch["x_start"], batch["t"], batch["noise"])
+    eps_pred, _ = unet_apply(
+        frozen["unet"], x_t, batch["t"], ctx4[:b], cfg.unet,
+    )
+    diff = (eps_pred.astype(jnp.float32)
+            - batch["teacher_noise_pred"].astype(jnp.float32)) ** 2
+    loss_distill = diff.mean()
+    loss_delta = calc_prompt_emb_delta_loss(ctx4, batch.get("prompt_emb_mask"))
+    loss = cfg.unet_distill_weight * loss_distill \
+        + cfg.prompt_emb_delta_weight * loss_delta
+    return loss, {"loss": loss, "loss_unet_distill": loss_distill,
+                  "loss_prompt_emb_delta": loss_delta}
+
+
+def make_train_step(
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    frozen: Params,
+    schedule: DiffusionSchedule,
+    cfg: TrainConfig,
+    donate: bool = True,
+):
+    """Build the jitted step: grad → optimizer → new state + metrics.
+
+    With batch sharded over 'dp' and params replicated, XLA emits the
+    gradient all-reduce over ICI automatically.
+    """
+
+    def step(state: State, batch: Params, rng: jax.Array):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, frozen, batch, schedule, cfg, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics, grad_norm=gnorm)
+        return State(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def init_state(trainable: Params, optimizer: optax.GradientTransformation) -> State:
+    return State(trainable, optimizer.init(trainable), jnp.zeros((), jnp.int32))

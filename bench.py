@@ -1,0 +1,63 @@
+"""Headline benchmark: personalized 512² generation throughput on one chip.
+
+Runs the full inference pipeline (prompt encode → 25-step CFG DDIM UNet
+loop → VAE decode) at batch 4 with random SD1.5-sized weights (weights do
+not affect speed) and prints ONE JSON line.
+
+Baseline: the driver north star is ≥2,000 personalized 512² 25-step
+generations/hour/chip (BASELINE.md) = 0.5556 imgs/sec/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 2000.0 / 3600.0
+
+
+def main():
+    from adaface_tpu.inference.pipeline import DiffusionPipeline, PipelineModules
+
+    batch = 4
+    steps = 25
+    modules = PipelineModules.random_init(jax.random.PRNGKey(0))
+    pipe = DiffusionPipeline(modules)
+
+    prompt = "portrait photo of z person at the beach, high quality"
+
+    def run(seed):
+        return pipe(
+            [prompt] * batch,
+            negative_prompt="lowres, low quality",
+            num_inference_steps=steps,
+            guidance_scale=6.0,
+            rng=jax.random.PRNGKey(seed),
+        )
+
+    # warm-up: compile + relay warm-up (discard)
+    img = run(0)
+    _ = np.asarray(img[:1, :1, :1, :1])
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(1, n_iters + 1):
+        img = run(i)
+    _ = np.asarray(img[:1, :1, :1, :1])  # host readback forces full sync
+    dt = (time.perf_counter() - t0) / n_iters
+
+    imgs_per_sec = batch / dt
+    print(json.dumps({
+        "metric": "personalized_gen_512_25step_throughput",
+        "value": round(imgs_per_sec, 4),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaface_tpu.id2ada.face_backends import DeterministicBackend
+from adaface_tpu.id2ada.face_id_to_ada_prompt import Arc2FaceID2AdaPrompt
+from adaface_tpu.inference.pipeline import DiffusionPipeline, PipelineModules
+from adaface_tpu.inference.wrapper import AdaFaceWrapper
+from adaface_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
+from adaface_tpu.models.unet import UNetConfig
+from adaface_tpu.models.vae import VAEConfig
+
+D = 64
+TINY_TEXT = CLIPTextConfig(hidden_size=D, num_layers=2, num_heads=2,
+                           intermediate_size=128)
+TINY_UNET = UNetConfig(block_channels=(16, 32, 32, 32), cross_attn_dim=D,
+                       num_heads=2, norm_groups=8, lora_rank=4, lora_alpha=1)
+TINY_VAE = VAEConfig(base_ch=16, ch_mult=(1, 2, 2), num_res_blocks=1,
+                     norm_groups=8)
+TINY_VISION = CLIPVisionConfig(hidden_size=D, num_layers=2, num_heads=2,
+                               intermediate_size=128, image_size=224,
+                               patch_size=32)
+
+
+@pytest.fixture(scope="module")
+def modules():
+    return PipelineModules.random_init(
+        jax.random.PRNGKey(0), dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT)
+
+
+def test_pipeline_text2img(modules):
+    pipe = DiffusionPipeline(modules, dtype=jnp.float32)
+    img = pipe("a photo of a cat", num_inference_steps=3,
+               guidance_scale=4.0, height=128, width=128)
+    assert img.shape == (1, 3, 128, 128)
+    assert np.isfinite(np.asarray(img)).all()
+    assert 0.0 <= float(img.min()) and float(img.max()) <= 1.0
+
+
+def test_pipeline_dual_scale_and_batch(modules):
+    pipe = DiffusionPipeline(modules, dtype=jnp.float32)
+    img = pipe(["a", "b"], num_inference_steps=2, guidance_scale=4.0,
+               guidance_scale_min=1.0, height=128, width=128)
+    assert img.shape == (2, 3, 128, 128)
+
+
+@pytest.fixture(scope="module")
+def wrapper(modules):
+    enc = Arc2FaceID2AdaPrompt(
+        jax.random.PRNGKey(1),
+        face_backend=DeterministicBackend(),
+        clip_vision_cfg=TINY_VISION,
+        sbg_clip_cfg=TINY_TEXT,
+        text_cfg=TINY_TEXT,
+        output_dim=D,
+    )
+    return AdaFaceWrapper("text2img", modules, enc,
+                          num_inference_steps=2, dtype=jnp.float32)
+
+
+def test_wrapper_placeholder_extension(wrapper, modules):
+    tok = modules.tokenizer
+    assert wrapper.placeholder_tokens[0][0] == "z_0_0"
+    assert len(wrapper.placeholder_tokens[0]) == 16
+    # embedding table extended to cover the new ids
+    assert modules.text_encoder["token_embedding"].shape[0] == tok.vocab_size
+
+
+def test_wrapper_end_to_end(wrapper):
+    imgs = [np.random.RandomState(i).randint(0, 255, (128, 128, 3), np.uint8)
+            for i in range(2)]
+    ada = wrapper.prepare_adaface_embeddings(images=imgs)
+    assert ada is not None and ada.shape == (16, D)
+    # ada embeddings must be written into the table rows
+    table = wrapper.pipeline.m.text_encoder["token_embedding"]
+    row0 = table[wrapper.placeholder_token_ids[0][0]]
+    np.testing.assert_allclose(np.asarray(row0), np.asarray(ada[0]), atol=1e-5)
+
+    out = wrapper.forward("portrait at the beach", num_images=2,
+                          num_inference_steps=2, rng=jax.random.PRNGKey(0),
+                          height=128, width=128)
+    assert out.shape == (2, 3, 128, 128)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_wrapper_update_prompt(wrapper):
+    p = wrapper.update_prompt("a portrait")
+    assert "z_0_0" in p and p.startswith("a portrait")
+    # idempotent
+    assert wrapper.update_prompt(p) == p
+
+
+def test_wrapper_img2img(modules):
+    enc = Arc2FaceID2AdaPrompt(
+        jax.random.PRNGKey(2),
+        face_backend=DeterministicBackend(),
+        clip_vision_cfg=TINY_VISION,
+        sbg_clip_cfg=TINY_TEXT,
+        text_cfg=TINY_TEXT,
+        output_dim=D,
+    )
+    w = AdaFaceWrapper("img2img", modules, enc, dtype=jnp.float32)
+    src = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+    out = w.forward("a portrait", init_image=src, num_images=1,
+                    num_inference_steps=4, strength=0.5)
+    assert out.shape == (1, 3, 64, 64)
+
+
+def test_wrapper_rejects_unimplemented_pipelines(modules):
+    with pytest.raises(NotImplementedError):
+        AdaFaceWrapper("sdxl", modules, None)
