@@ -25,7 +25,15 @@ def main():
 
     batch = 4
     steps = 25
-    modules = PipelineModules.random_init(jax.random.PRNGKey(0))
+    # init on host CPU (device-side init dispatches hundreds of tiny ops
+    # through the relay: measured 730s vs seconds on host), then ship once
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        modules = PipelineModules.random_init(jax.random.PRNGKey(0))
+    dev = jax.devices()[0]
+    for name in ("unet", "vae", "text_encoder"):
+        setattr(modules, name,
+                jax.device_put(getattr(modules, name), dev))
     pipe = DiffusionPipeline(modules)
 
     prompt = "portrait photo of z person at the beach, high quality"

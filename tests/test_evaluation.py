@@ -1,0 +1,99 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from adaface_tpu.evaluation.clip_eval import CLIPEvaluator
+from adaface_tpu.evaluation.dino_eval import DINOEvaluator
+from adaface_tpu.evaluation.eval_utils import (
+    append_score_row,
+    compare_face_folders,
+    compare_folders,
+    format_prompt_list,
+    parse_range_str,
+)
+from adaface_tpu.evaluation.face_sim import calc_faces_similarities, embed_images
+from adaface_tpu.id2ada.face_backends import DeterministicBackend
+from adaface_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
+from adaface_tpu.models.vit import ViTConfig, init_vit_params
+
+TINY_TEXT = CLIPTextConfig(hidden_size=64, num_layers=2, num_heads=2,
+                           intermediate_size=128)
+TINY_VISION = CLIPVisionConfig(hidden_size=64, num_layers=2, num_heads=2,
+                               intermediate_size=128, patch_size=32,
+                               projection_dim=32)
+TINY_VIT = ViTConfig(hidden_size=64, num_layers=2, num_heads=2, patch_size=32)
+
+
+def _imgs(n, seed=0):
+    rs = np.random.RandomState(seed)
+    return [rs.randint(0, 255, (64, 64, 3), np.uint8) for _ in range(n)]
+
+
+def test_parse_range_str():
+    assert parse_range_str("1,3-5,8") == [1, 3, 4, 5, 8]
+    assert parse_range_str(None) is None
+
+
+def test_format_prompt_list():
+    subj, cls = format_prompt_list("z", "person", ["a photo of {}", "{} at night"])
+    assert subj == ["a photo of z", "z at night"]
+    assert cls == ["a photo of person", "person at night"]
+
+
+@pytest.fixture(scope="module")
+def clip_eval():
+    return CLIPEvaluator(text_cfg=TINY_TEXT, vision_cfg=TINY_VISION,
+                         rng=jax.random.PRNGKey(0))
+
+
+def test_clip_evaluator_scores(clip_eval):
+    a, b = _imgs(2, 0), _imgs(2, 1)
+    s_ab = clip_eval.img_to_img_similarity(a, b)
+    s_aa = clip_eval.img_to_img_similarity(a, a)
+    assert -1.0 <= s_ab <= 1.0
+    assert s_aa > s_ab  # self-similarity (incl. diag=1) beats cross
+    t = clip_eval.txt_to_img_similarity(["a photo"], a)
+    assert -1.0 <= t <= 1.0
+
+
+def test_dino_evaluator(clip_eval):
+    ev = DINOEvaluator(cfg=TINY_VIT, rng=jax.random.PRNGKey(1))
+    a = _imgs(2, 0)
+    assert ev.img_to_img_similarity(a, a) > ev.img_to_img_similarity(a, _imgs(2, 5))
+
+
+def test_face_sim_deterministic_backend():
+    be = DeterministicBackend()
+    a = _imgs(3, 0)
+    ea = embed_images(a, be)
+    assert ea.shape == (3, 512)
+    # same images → identical embeddings → high self-sim diagonal
+    sim_self = calc_faces_similarities(ea, ea)
+    sim_cross = calc_faces_similarities(ea, embed_images(_imgs(3, 9), be))
+    assert sim_self > sim_cross
+
+
+def test_compare_folders_and_csv(tmp_path, clip_eval):
+    d1, d2 = tmp_path / "samples", tmp_path / "gt"
+    d1.mkdir(), d2.mkdir()
+    for i, im in enumerate(_imgs(2, 0)):
+        Image.fromarray(im).save(d1 / f"{i}.png")
+    for i, im in enumerate(_imgs(2, 1)):
+        Image.fromarray(im).save(d2 / f"{i}.png")
+    scores = compare_folders(str(d1), str(d2), prompt="a photo",
+                             clip_evaluator=clip_eval,
+                             dino_evaluator=DINOEvaluator(
+                                 cfg=TINY_VIT, rng=jax.random.PRNGKey(1)))
+    assert set(scores) >= {"clip_t", "clip_i", "dino", "n_samples"}
+    face = compare_face_folders(str(d1), str(d2),
+                                backend=DeterministicBackend())
+    assert "face_sim" in face and face["n_faces_a"] == 2
+
+    csv_path = tmp_path / "scores.csv"
+    append_score_row(str(csv_path), {"subject": "alice", **scores})
+    append_score_row(str(csv_path), {"subject": "bob", **scores})
+    lines = csv_path.read_text().strip().split("\n")
+    assert len(lines) == 3  # header + 2 rows
