@@ -1,0 +1,299 @@
+"""Stage-2 compositional-distillation losses.
+
+JAX rebuilds of the comp-distill loss family (`ldm/util.py:1920-2758`,
+dispatched from `calc_comp_feat_distill_loss`, `ddpm.py:3190-3600`). The
+4-block batch layout everywhere is [subj_single ‖ subj_comp ‖
+subj_comp_rep ‖ cls_comp] along the leading axis.
+
+- elastic matching (`calc_elastic_matching_loss:2549-2758` +
+  `calc_sc_recon_ssfg_mc_losses:2314-2548`): reconstruct subject-comp
+  features from subject-single-fg and cls-comp features via (a) q-similarity
+  attention aggregation, (b) optical flow (pluggable; same-location mock
+  when absent, as in the reference default), (c) same-location, taking the
+  margin-weighted per-token min, with loss-scale capping/discard expressed
+  as jnp.where gates (no data-dependent python control flow).
+- `calc_comp_subj_bg_preserve_loss:1920-2046`: layer-weighted wrapper over
+  the captured CA layers 22/23/24.
+- `calc_sc_rep_attn_distill_loss:2047-2122`: subj-comp → subj-comp-rep
+  attention distillation + subject-K/V alignment to subj-single and
+  non-subject-K/V alignment to cls-comp, gated on the detected-face area
+  fraction.
+- `calc_subj_attn_cross_t_diff_loss:2123-…`: subject-attention consistency
+  across consecutive denoising steps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from adaface_tpu.train.face_losses import bilinear_crop
+
+LayerActs = dict[int, jax.Array]
+
+
+def _crop_resize_feat(feat_4d: jax.Array, bboxes: jax.Array) -> jax.Array:
+    """[B,C,H,W] + latent-space bboxes [B,4] → crops resized back to [B,C,H,W]."""
+    h = feat_4d.shape[-2]
+    return bilinear_crop(feat_4d, bboxes, h)
+
+
+def _recon_with_attn(feat: jax.Array, prob: jax.Array) -> jax.Array:
+    """[B,C,N] × [B,N,N'] → [B,N',C] (`reconstruct_feat_with_attn_aggregation`)."""
+    return jnp.einsum("bcn,bnm->bmc", feat, prob)
+
+
+def calc_elastic_matching_loss(
+    ca_q: jax.Array,  # [4B, C, N] (q2 capture)
+    ca_attn_out: jax.Array,  # [4B, C, N]
+    ca_outfeat: jax.Array,  # [4B, C, N]
+    h: int,
+    w: int,
+    ss_face_bboxes: jax.Array,  # [B, 4] latent coords
+    sc_face_bboxes: jax.Array,  # [B, 4]
+    flow_fn: Callable | None = None,  # (src_q, dst_q) -> flow-recon fn (GMA)
+    sc_face_shrink_ratio: float = 1.0,
+    recon_scaled_loss_threses={"mc": 0.4, "ssfg": 0.4},
+    recon_max_scale_of_threses: float = 5.0,
+):
+    """→ dict of losses: sc_recon_{ssfg,mc}_{attn_agg,flow,sameloc,min},
+    sc_to_{ssfg,mc}_sparse_attns_distill, discarded_loss_ratio."""
+    b4, c, n = ca_q.shape
+    b = b4 // 4
+    ss_q, sc_q, sc_rep_q, mc_q = jnp.split(ca_q, 4, axis=0)
+
+    def to4d(x):
+        return x.reshape(x.shape[0], c, h, w)
+
+    # fg crops resized to full grid, demeaned for sharper matching
+    ssfg_q = _crop_resize_feat(to4d(ss_q), ss_face_bboxes).reshape(b, c, n)
+    scfg_q = _crop_resize_feat(to4d(sc_q), sc_face_bboxes).reshape(b, c, n)
+    q_fg_mean = jax.lax.stop_gradient(
+        jnp.concatenate([ssfg_q, scfg_q], 0).mean(axis=(0, 2), keepdims=True))
+    ssfg_q = ssfg_q - q_fg_mean
+    scfg_q = scfg_q - q_fg_mean
+
+    # bg mask: 1 outside the (possibly shrunken) sc face box
+    ys = jnp.arange(h)[None, :, None]
+    xs = jnp.arange(w)[None, None, :]
+    x0, y0, x1, y1 = [sc_face_bboxes[:, i, None, None] * sc_face_shrink_ratio
+                      for i in range(4)]
+    in_face = ((xs >= x0) & (xs < x1) & (ys >= y0) & (ys < y1))
+    sc_bg_mask = 1.0 - in_face.astype(jnp.float32)  # [B, H, W]
+    sc_bg_mask_3d = sc_bg_mask.reshape(b, 1, n)
+
+    scbg_q = sc_q * sc_bg_mask_3d
+    bg_frac = sc_bg_mask_3d.sum() / (b * n) + 1e-5
+    q_bg_mean = jax.lax.stop_gradient(
+        (mc_q.mean(axis=(0, 2), keepdims=True)
+         + scbg_q.mean(axis=(0, 2), keepdims=True) / bg_frac) / 2.0)
+    mc_q = mc_q - q_bg_mean
+    scbg_q = (scbg_q - q_bg_mean) * sc_bg_mask_3d
+
+    # matching probabilities, normalized over the sc-token dim
+    sc_attns = {
+        "ssfg": jax.nn.softmax(
+            jnp.einsum("bcn,bcm->bnm", scfg_q, ssfg_q), axis=1),
+        "mc": jax.nn.softmax(
+            jnp.einsum("bcn,bcm->bnm", scbg_q, mc_q), axis=1),
+    }
+    eye = jnp.broadcast_to(jnp.eye(n), (b, n, n))
+
+    losses: dict[str, jax.Array] = {}
+    discard_flags = []
+    for name in ("ssfg", "mc"):
+        losses[f"sc_to_{name}_sparse_attns_distill"] = jnp.float32(0.0)
+
+    # margins from the reference (`:2455-2463`)
+    margins = {"ssfg": (10.0, 1.02), "mc": (10.0, 1.1)}
+
+    accum: dict[str, list] = {}
+    for feat_type, feat_obj in (("outfeat", ca_outfeat), ("attn_out", ca_attn_out)):
+        ss_f, sc_f, _, mc_f = jnp.split(feat_obj, 4, axis=0)
+        ssfg_f = _crop_resize_feat(to4d(ss_f), ss_face_bboxes).reshape(b, c, n)
+        scfg_f = _crop_resize_feat(to4d(sc_f), sc_face_bboxes).reshape(b, c, n)
+        f_fg_mean = jax.lax.stop_gradient(
+            jnp.concatenate([ssfg_f, scfg_f], 0).mean(axis=(0, 2), keepdims=True))
+        ssfg_f = ssfg_f - f_fg_mean
+        scfg_f = scfg_f - f_fg_mean
+        scbg_f = sc_f * sc_bg_mask_3d
+        f_bg_mean = jax.lax.stop_gradient(
+            (mc_f.mean(axis=(0, 2), keepdims=True)
+             + scbg_f.mean(axis=(0, 2), keepdims=True) / bg_frac) / 2.0)
+        mc_f = mc_f - f_bg_mean
+        scbg_f = (scbg_f - f_bg_mean) * sc_bg_mask_3d
+
+        srcs = {"ssfg": scfg_f, "mc": scbg_f}
+        targets = {"ssfg": jax.lax.stop_gradient(ssfg_f),
+                   "mc": jax.lax.stop_gradient(mc_f)}
+
+        for name in ("ssfg", "mc"):
+            target = targets[name].transpose(0, 2, 1)  # [B, N, C]
+            cands = {
+                "attn_agg": _recon_with_attn(srcs[name], sc_attns[name]),
+                # flow candidate: GMA when provided, sameloc mock otherwise
+                # (reference default: use_face_flow=False)
+                "flow": (flow_fn(srcs[name], sc_attns[name])
+                         if flow_fn is not None
+                         else srcs[name].transpose(0, 2, 1)),
+                "sameloc": srcs[name].transpose(0, 2, 1),
+            }
+            token_losses = {
+                k: ((v - target) ** 2).mean(-1) for k, v in cands.items()
+            }  # each [B, N]
+            m_attn, m_flow = margins[name]
+            stacked = jnp.stack([
+                token_losses["attn_agg"] * m_attn,
+                token_losses["flow"] * m_flow,
+                token_losses["sameloc"],
+            ], axis=0)  # [3, B, N]
+            min_tok = stacked.min(axis=0)
+            loss_min = min_tok.mean()
+
+            # sparse-attn distillation: teach the attn toward the better
+            # sparse scheme, weighted by its (detached) advantage
+            adv = jax.lax.stop_gradient(
+                stacked[0:1] - stacked[1:])  # [2, B, N]
+            adv_best = adv.max(axis=0)  # [B, N]
+            adv_n = (adv_best - adv_best.mean(-1, keepdims=True)) / (
+                adv_best.std(-1, keepdims=True) + 1e-5)
+            weights = jax.nn.sigmoid(5.0 * adv_n)[:, None, :]  # [B,1,N]
+            sparse_attn = eye  # both sparse schemes reduce to identity w/o flow
+            ens = sparse_attn + sc_attns[name]
+            w_sc = jax.lax.stop_gradient(
+                jnp.einsum("bon,bmn->bom", weights, ens)).transpose(0, 2, 1)
+            loss_sparse = (jnp.abs(sparse_attn - sc_attns[name])
+                           * w_sc).mean()
+
+            # loss-scale capping + discard gating (`:2706-2737`)
+            thres = recon_scaled_loss_threses[name]
+            raw = jax.lax.stop_gradient(loss_min)
+            keep = (raw < thres * recon_max_scale_of_threses).astype(jnp.float32)
+            scale = jnp.minimum(thres / (raw + 1e-6), 1.0) * keep
+            discard_flags.append(1.0 - keep)
+
+            for k in ("attn_agg", "flow", "sameloc"):
+                accum.setdefault(f"sc_recon_{name}_{k}", []).append(
+                    token_losses[k].mean() * scale)
+            accum.setdefault(f"sc_recon_{name}_min", []).append(loss_min * scale)
+            accum.setdefault(f"sc_to_{name}_sparse_attns_distill", []).append(
+                loss_sparse)
+
+    for k, vals in accum.items():
+        losses[k] = sum(vals) / len(vals)
+    losses["discarded_loss_ratio"] = sum(discard_flags) / len(discard_flags)
+    return losses
+
+
+def calc_comp_subj_bg_preserve_loss(
+    ca_layers_activations: dict[str, LayerActs],  # needs q2/attn_out/outfeat
+    ss_face_bboxes: jax.Array,
+    sc_face_bboxes: jax.Array,
+    flow_fn: Callable | None = None,
+    layer_weights: dict[int, float] = {22: 1 / 3, 23: 1 / 3, 24: 1 / 3},
+    sc_recon_ssfg_loss_scale: float = 0.1,
+    sc_recon_mc_loss_scale: float = 0.2,
+    do_sc_fg_faces_suppress: bool = False,
+):
+    """→ (loss_comp_fg_bg_preserve, metrics dict)."""
+    if do_sc_fg_faces_suppress:
+        sc_recon_ssfg_loss_scale = 0.0
+    total = jnp.float32(0.0)
+    metrics: dict[str, jax.Array] = {}
+    qs = ca_layers_activations["q2"]
+    attn_outs = ca_layers_activations["attn_out"]
+    outfeats = ca_layers_activations["outfeat"]
+    for layer, w in layer_weights.items():
+        if layer not in qs:
+            continue
+        q = qs[layer]
+        outfeat = outfeats[layer]
+        if outfeat.ndim == 4:  # [4B, C, H, W] → [4B, C, N]
+            hh, ww = outfeat.shape[-2:]
+            outfeat = outfeat.reshape(*outfeat.shape[:2], -1)
+        else:
+            n = outfeat.shape[-1]
+            hh = ww = int(round(n ** 0.5))
+        losses = calc_elastic_matching_loss(
+            q, attn_outs[layer], outfeat, hh, ww,
+            ss_face_bboxes, sc_face_bboxes, flow_fn=flow_fn)
+        total = total + w * (
+            losses["sc_recon_ssfg_min"] * sc_recon_ssfg_loss_scale
+            + losses["sc_recon_mc_min"] * sc_recon_mc_loss_scale)
+        for k, v in losses.items():
+            metrics[f"l{layer}_{k}"] = v
+    return total, metrics
+
+
+def calc_sc_rep_attn_distill_loss(
+    ca_layers_activations: dict[str, LayerActs],  # attn [4B,H,Nq,S], k/v [4B,C,S]
+    subj_mask_1b: jax.Array,  # [1or B, S] subject-token positions
+    prompt_emb_mask_4b: jax.Array,  # [4B, S, 1]
+    prompt_pad_mask_4b: jax.Array,  # [4B, S, 1]
+    sc_fg_mask_percent: jax.Array | float,
+    fg_thres: float = 0.1,
+    layer_weights: dict[int, float] = {23: 0.5, 24: 0.5},
+):
+    """→ dict of the 5 rep-distill losses (`calc_sc_rep_attn_distill_loss`).
+    All losses gate to 0 when the detected face area < fg_thres."""
+    gate = (jnp.asarray(sc_fg_mask_percent) >= fg_thres).astype(jnp.float32)
+
+    emb = prompt_emb_mask_4b[..., 0]
+    pad = prompt_pad_mask_4b[..., 0]
+    _, sc_emb, _, _ = jnp.split(emb, 4, axis=0)
+    _, sc_pad, _, _ = jnp.split(pad, 4, axis=0)
+    subj = subj_mask_1b.astype(jnp.float32)
+    nonsubj = jnp.clip(sc_emb * (1.0 - subj) + sc_pad, 0.0, 1.0)[:, None, :]
+
+    out = {k: jnp.float32(0.0) for k in (
+        "subj_attn", "subj_k", "nonsubj_k", "subj_v", "nonsubj_v")}
+    for layer, w in layer_weights.items():
+        attns = ca_layers_activations["attn"]
+        if layer not in attns:
+            continue
+        attn = attns[layer]  # [4B, H, Nq, S]
+        s = attn.shape[-1]
+        _, sc_attn, sc_rep_attn, _ = jnp.split(attn, 4, axis=0)
+        loss_attn = ((sc_attn - jax.lax.stop_gradient(sc_rep_attn)) ** 2).mean()
+        out["subj_attn"] = out["subj_attn"] + loss_attn * (s * 10) * w
+
+        k4 = ca_layers_activations["k"][layer]  # [4B, C, S]
+        v4 = ca_layers_activations["v"][layer]
+        ss_k, sc_k, _, mc_k = jnp.split(k4, 4, axis=0)
+        ss_v, sc_v, _, mc_v = jnp.split(v4, 4, axis=0)
+
+        def masked_mse(a, b, m):
+            d = (a - jax.lax.stop_gradient(b)) ** 2
+            m = jnp.broadcast_to(m, d.shape)
+            return (d * m).sum() / (m.sum() + 1e-6)
+
+        sm = subj[:, None, :]
+        out["subj_k"] = out["subj_k"] + masked_mse(sc_k, ss_k, sm) * w
+        out["subj_v"] = out["subj_v"] + masked_mse(sc_v, ss_v, sm) * w
+        out["nonsubj_k"] = out["nonsubj_k"] + masked_mse(sc_k, mc_k, nonsubj) * w
+        out["nonsubj_v"] = out["nonsubj_v"] + masked_mse(sc_v, mc_v, nonsubj) * w
+    return {k: v * gate for k, v in out.items()}
+
+
+def calc_subj_attn_cross_t_diff_loss(
+    ca_layers_activations: dict[str, LayerActs],
+    future_ca_layers_activations: dict[str, LayerActs],
+    subj_mask: jax.Array,  # [B, S]
+    layer_weights: dict[int, float] = {22: 1 / 3, 23: 1 / 3, 24: 1 / 3},
+):
+    """Subject-attention consistency across consecutive denoising steps
+    (`calc_subj_attn_cross_t_diff_loss:2123-…`)."""
+    total, wsum = jnp.float32(0.0), 0.0
+    for layer, w in layer_weights.items():
+        cur = ca_layers_activations["attn"].get(layer)
+        fut = future_ca_layers_activations["attn"].get(layer)
+        if cur is None or fut is None:
+            continue
+        m = subj_mask[:, None, None, :]
+        cur_subj = (cur * m).sum(-1)
+        fut_subj = jax.lax.stop_gradient((fut * m).sum(-1))
+        total = total + w * ((cur_subj - fut_subj) ** 2).mean()
+        wsum += w
+    return total / max(wsum, 1e-6)

@@ -1,0 +1,253 @@
+"""Stage-2 compositional-distillation training step.
+
+Rebuild of the comp-distill iteration (`ddpm.py:1923-2271, 3190-3600`):
+
+1. `prime_comp_x_start` (`prime_x_start_for_comp_prompts:1923-1985`):
+   no-grad priming — start from noise at t∈[0.7, 0.9]·T and take a few
+   denoising steps under an ensemble-CFG of subj-single and cls-comp
+   contexts, producing a subject-layout-consistent x_start for all blocks.
+2. `comp_distill_denoise` (`comp_distill_multistep_denoise:1997-2092`):
+   a `lax.scan` over 4 denoising steps of the 4-block batch
+   [ss ‖ sc ‖ sc_rep ‖ mc] with activation capture; per-block gradient
+   gating replaces the reference's sliced no-grad UNet calls
+   (`sliced_apply_model`, `ddpm.py:1560-1750`) — only the SC block carries
+   gradients (SURVEY §7: "per-block grad gating via stop_gradient is
+   simpler and jit-friendly").
+3. `comp_distill_loss_fn`: assembles the stage-2 losses from the captured
+   activations (`calc_comp_feat_distill_loss:3190-3600`): attention-norm
+   alignment, subj-comp-rep attention distillation, elastic-matching
+   fg/bg preservation, cross-step attention consistency; the
+   face-alignment ArcFace losses plug in through precomputed bboxes
+   (`calc_comp_face_align_and_mb_suppress_losses:3602-3733`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from adaface_tpu.id2ada.subj_basis_generator import subj_basis_forward
+from adaface_tpu.models.unet import AttnRuntime, unet_apply
+from adaface_tpu.ops.schedules import DiffusionSchedule
+from adaface_tpu.train.comp_losses import (
+    calc_comp_subj_bg_preserve_loss,
+    calc_sc_rep_attn_distill_loss,
+    calc_subj_attn_cross_t_diff_loss,
+)
+from adaface_tpu.train.losses import (
+    calc_attn_norm_loss,
+    calc_prompt_emb_delta_loss,
+    calc_subj_masked_bg_suppress_loss,
+)
+from adaface_tpu.train.train_step import TrainConfig, _encode_prompts_with_ada
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class CompDistillConfig:
+    num_priming_steps: int = 2
+    num_denoising_steps: int = 4
+    priming_t_range: tuple[float, float] = (0.7, 0.9)
+    cls_comp_mix_ratio: float = 0.6  # subj-comp ‖ cls-comp mixing (`:1522`)
+    priming_cfg_scale: float = 2.0
+    attn_norm_weight: float = 0.02
+    rep_distill_weight: float = 0.02
+    fg_bg_preserve_weight: float = 1.0
+    cross_t_diff_weight: float = 0.05
+    mb_suppress_weight: float = 0.1
+    prompt_emb_delta_weight: float = 1e-4
+
+
+def prime_comp_x_start(
+    unet_params: Params,
+    unet_cfg,
+    schedule: DiffusionSchedule,
+    x_noise: jax.Array,  # [B, 4, h, w] pure noise start
+    ctx_subj_single: jax.Array,  # [B, S, D]
+    ctx_cls_comp: jax.Array,  # [B, S, D]
+    rng: jax.Array,
+    cfg: CompDistillConfig = CompDistillConfig(),
+):
+    """No-grad priming: a few high-t denoise steps under subj-single +
+    cls-comp ensemble CFG → x_start for the comp blocks."""
+    t_total = schedule.num_timesteps
+    b = x_noise.shape[0]
+    k_t, k_loop = jax.random.split(rng)
+    t0 = jax.random.randint(
+        k_t, (b,), int(cfg.priming_t_range[0] * t_total),
+        int(cfg.priming_t_range[1] * t_total))
+
+    ctx2 = jnp.concatenate([ctx_subj_single, ctx_cls_comp], axis=0)
+
+    def step(carry, key):
+        x0, t = carry
+        noise = jax.random.normal(key, x0.shape, x0.dtype)
+        x_t = schedule.q_sample(x0, t, noise)
+        x2 = jnp.concatenate([x_t, x_t], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        eps2, _ = unet_apply(unet_params, x2, t2, ctx2, unet_cfg)
+        eps_ss, eps_cc = jnp.split(eps2, 2, axis=0)
+        # ensemble CFG between the two contexts (`:1950-1975`)
+        eps = eps_cc + cfg.priming_cfg_scale * (eps_ss - eps_cc) * 0.5 \
+            + (eps_ss + eps_cc) * 0.25
+        x0_next = schedule.predict_start_from_noise(x_t, t, eps)
+        t_next = (t.astype(jnp.float32) * 0.6).astype(jnp.int32)
+        return (x0_next, t_next), None
+
+    keys = jax.random.split(k_loop, cfg.num_priming_steps)
+    (x0, _), _ = jax.lax.scan(step, (x_noise, t0), keys)
+    return jax.lax.stop_gradient(x0)
+
+
+def comp_distill_denoise(
+    unet_params: Params,
+    unet_cfg,
+    schedule: DiffusionSchedule,
+    x_start: jax.Array,  # [B, 4, h, w] primed start (shared by the 4 blocks)
+    ctx4: jax.Array,  # [4B, S, D] ss ‖ sc ‖ sc_rep ‖ mc contexts
+    subj_mask: jax.Array,  # [4B, S]
+    rng: jax.Array,
+    attn_lora: Params | None = None,
+    cfg: CompDistillConfig = CompDistillConfig(),
+    use_attn_lora: bool = False,
+):
+    """→ (captured_per_step: list of activation dicts, x_starts [S+1,4B,…],
+    ts [S,4B]). Only the SC block (index 1) carries gradients."""
+    b = x_start.shape[0]
+    x4 = jnp.tile(x_start, (4, 1, 1, 1))
+
+    def gate_blocks(x):
+        """stop_gradient on ss / sc_rep / mc blocks."""
+        ss, sc, sr, mc = jnp.split(x, 4, axis=0)
+        return jnp.concatenate([
+            jax.lax.stop_gradient(ss), sc,
+            jax.lax.stop_gradient(sr), jax.lax.stop_gradient(mc)], axis=0)
+
+    t_total = schedule.num_timesteps
+    k_t, k_loop = jax.random.split(rng)
+    t0 = jax.random.randint(k_t, (1,), int(0.55 * t_total), int(0.75 * t_total))
+    t0 = jnp.broadcast_to(t0, (4 * b,))
+
+    rt = AttnRuntime(capture=True, use_attn_lora=use_attn_lora,
+                     q_lora_updates_query=False)
+
+    captured_steps = []
+    x_starts = [x4]
+    ts = []
+    x0, t = x4, t0
+    keys = jax.random.split(k_loop, cfg.num_denoising_steps)
+    # python loop (static step count): each step's capture dict is a
+    # separate pytree output; scan would stack them, which is fine too, but
+    # the per-step losses index different steps, so keep them unstacked.
+    for i in range(cfg.num_denoising_steps):
+        k1, k2 = jax.random.split(keys[i])
+        noise = jax.random.normal(k1, (b, *x0.shape[1:]), x0.dtype)
+        noise4 = jnp.tile(noise, (4, 1, 1, 1))
+        x_t = schedule.q_sample(gate_blocks(x0), t, noise4)
+        eps, cap = unet_apply(
+            unet_params, x_t, t, ctx4, unet_cfg, rt=rt,
+            attn_lora=attn_lora, subj_mask=subj_mask)
+        x0 = schedule.predict_start_from_noise(x_t, t, eps)
+        captured_steps.append(cap)
+        x_starts.append(x0)
+        ts.append(t)
+        rel = jax.random.uniform(k2, (1,))
+        t = (t.astype(jnp.float32) * (0.5 + 0.2 * rel)).astype(jnp.int32)
+    return captured_steps, x_starts, ts
+
+
+def comp_distill_loss_fn(
+    trainable: Params,
+    frozen: Params,
+    batch: Params,
+    schedule: DiffusionSchedule,
+    cfg: TrainConfig,
+    rng: jax.Array,
+    comp_cfg: CompDistillConfig = CompDistillConfig(),
+):
+    """Full comp-distill iteration loss.
+
+    batch: img_prompt_embs [B,K,D]; prompt_ids/splice_map/prompt_emb_mask/
+    prompt_pad_mask [4B,…] (ss/sc/cs→sc_rep/cc blocks); ss_face_bboxes /
+    sc_face_bboxes [B,4] (latent coords, host-detected on decoded recons);
+    sc_fg_mask_percent scalar; noise [B,4,h,w].
+    """
+    k_ada, k_prime, k_denoise = jax.random.split(rng, 3)
+    sbg = {"params": trainable["sbg"], "buffers": frozen["sbg_buffers"]}
+    # comp iterations use the first instance's embeddings for the whole
+    # batch (`embedding_manager.py:316-320`)
+    ada = subj_basis_forward(
+        sbg, batch["img_prompt_embs"][:1], cfg.sbg,
+        out_id_embs_cfg_scale=1.0, is_face=True)
+    b = batch["img_prompt_embs"].shape[0]
+    ada = jnp.tile(ada, (b, 1, 1))
+
+    ctx4 = _encode_prompts_with_ada(frozen, ada, batch, cfg)
+    ss_ctx, sc_ctx, sr_ctx, cc_ctx = jnp.split(ctx4, 4, axis=0)
+    # mix cls-comp into subj-comp-rep (`forward:1522` ratio 0.6)
+    mix = comp_cfg.cls_comp_mix_ratio
+    cc_mix_ctx = sc_ctx * mix + cc_ctx * (1 - mix)
+    ctx4_run = jnp.concatenate([ss_ctx, sc_ctx, sr_ctx, cc_mix_ctx], axis=0)
+
+    x_prime = prime_comp_x_start(
+        frozen["unet"], cfg.unet, schedule, batch["noise"], ss_ctx,
+        cc_mix_ctx, k_prime, comp_cfg)
+
+    subj_mask4 = (batch["splice_map"] >= 0).astype(jnp.float32)
+    captured_steps, x_starts, ts = comp_distill_denoise(
+        frozen["unet"], cfg.unet, schedule, x_prime, ctx4_run, subj_mask4,
+        k_denoise,
+        attn_lora=trainable.get("attn_lora"),
+        cfg=comp_cfg,
+        use_attn_lora="attn_lora" in trainable,
+    )
+
+    last = captured_steps[-1]
+    prev = captured_steps[-2]
+    subj_mask_1b = subj_mask4[:b]
+
+    loss_attn_norm = calc_attn_norm_loss(
+        {k: jnp.concatenate([jnp.split(v, 4)[1], jnp.split(v, 4)[3]], axis=0)
+         for k, v in last["attnscore"].items()},
+        subj_mask_1b)
+
+    rep_losses = calc_sc_rep_attn_distill_loss(
+        last, subj_mask_1b, batch["prompt_emb_mask"],
+        batch["prompt_pad_mask"], batch.get("sc_fg_mask_percent", 1.0))
+
+    loss_fg_bg, em_metrics = calc_comp_subj_bg_preserve_loss(
+        last, batch["ss_face_bboxes"], batch["sc_face_bboxes"])
+
+    loss_cross_t = calc_subj_attn_cross_t_diff_loss(
+        prev, last, subj_mask4)
+
+    # mb-suppress on the sc block attn only
+    sc_attn = {k: jnp.split(v, 4)[1] for k, v in last["attn"].items()}
+    loss_mb = calc_subj_masked_bg_suppress_loss(
+        sc_attn, subj_mask_1b, batch.get("fg_mask"))
+
+    loss_delta = calc_prompt_emb_delta_loss(ctx4, batch.get("prompt_emb_mask"))
+
+    loss_rep = sum(rep_losses.values())
+    loss = (
+        comp_cfg.attn_norm_weight * loss_attn_norm
+        + comp_cfg.rep_distill_weight * loss_rep
+        + comp_cfg.fg_bg_preserve_weight * loss_fg_bg
+        + comp_cfg.cross_t_diff_weight * loss_cross_t
+        + comp_cfg.mb_suppress_weight * loss_mb
+        + comp_cfg.prompt_emb_delta_weight * loss_delta
+    )
+    metrics = {
+        "loss": loss,
+        "loss_attn_norm": loss_attn_norm,
+        "loss_rep_distill": loss_rep,
+        "loss_comp_fg_bg_preserve": loss_fg_bg,
+        "loss_cross_t_diff": loss_cross_t,
+        "loss_mb_suppress": loss_mb,
+        "loss_prompt_emb_delta": loss_delta,
+    }
+    return loss, metrics
