@@ -1,0 +1,253 @@
+"""Training orchestrator — the `main.py` + `shared_step` equivalent.
+
+Wires the host data pipeline (PersonalizedBase + SubjectSampler), the
+id→ada encoder, the iteration planner, the three jitted step functions
+(recon / unet-distill / comp-distill), grad accumulation
+(optax.MultiSteps ≡ `accumulate_grad_batches: 2`), checkpoint cadence
+(every 500 steps, `CustomCheckpointSaver`), UNet base↔comp weight
+hot-swap (`ddpm.py:472-483`; both param sets stay pinned on host, swap via
+device_put), metrics/rolling-stats logging, and data-parallel sharding.
+
+Reference call stack being replaced: `main.py:492` → Lightning Trainer →
+`DDPM.training_step`/`LatentDiffusion.shared_step` (`ddpm.py:434-1351`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from adaface_tpu.data.personalized import PersonalizedBase, SubjectSampler, collate_batch
+from adaface_tpu.models.vae import SD_VAE, vae_encode
+from adaface_tpu.ops.schedules import DiffusionSchedule
+from adaface_tpu.parallel.mesh import make_mesh, shard_batch
+from adaface_tpu.train.checkpoint import save_adaface_ckpt
+from adaface_tpu.train.comp_step import CompDistillConfig, comp_distill_loss_fn
+from adaface_tpu.train.iteration_plan import IterationPlanner
+from adaface_tpu.train.optimizers import make_optimizer
+from adaface_tpu.train.prompt_batch import build_4block_prompt_batch
+from adaface_tpu.train.train_step import (
+    State,
+    TrainConfig,
+    init_state,
+    make_train_step,
+    recon_loss_fn,
+    unet_distill_loss_fn,
+)
+from adaface_tpu.utils.monitor import MetricsLogger, ProfilerHook, RollingStats
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    data_roots: list[str] = dataclasses.field(default_factory=list)
+    log_dir: str = "logs/run"
+    batch_size: int = 4
+    max_steps: int = 120_000
+    accum_steps: int = 2
+    ckpt_every: int = 500
+    optimizer: str = "cadamw"
+    lr: float = 1e-5
+    warmup_steps: int = 600
+    grad_clip: float = 0.2
+    comp_distill_iter_gap: int = 0
+    unet_distill_iter_gap: int = 0
+    num_vectors_per_subj_token: int = 16
+    image_size: int = 512
+    seed: int = 0
+    dp: int | None = None
+    profile: bool = False
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainerConfig,
+        train_cfg: TrainConfig,
+        frozen: Params,  # unet, text_encoder, sbg_buffers, (vae), (comp_unet)
+        trainable: Params,  # sbg (+ attn_lora/ffn_lora)
+        id2ada_encoder,
+        embedding_manager,
+        vae_params: Params | None = None,
+        teacher=None,
+        comp_cfg: CompDistillConfig = CompDistillConfig(),
+    ):
+        self.cfg = cfg
+        self.tcfg = train_cfg
+        self.frozen = frozen
+        self.vae_params = vae_params
+        self.encoder = id2ada_encoder
+        self.em = embedding_manager
+        self.teacher = teacher
+        self.comp_cfg = comp_cfg
+        self.schedule = DiffusionSchedule.create()
+
+        self.mesh = make_mesh(dp=cfg.dp) if cfg.dp else None
+        self.planner = IterationPlanner(
+            comp_distill_iter_gap=cfg.comp_distill_iter_gap,
+            unet_distill_iter_gap=cfg.unet_distill_iter_gap,
+            has_comp_unet_weights="comp_unet" in frozen,
+        )
+        base_opt = make_optimizer(
+            cfg.optimizer, cfg.lr, warmup_steps=cfg.warmup_steps,
+            total_steps=cfg.max_steps, grad_clip=cfg.grad_clip)
+        self.optimizer = (optax.MultiSteps(base_opt, cfg.accum_steps)
+                          if cfg.accum_steps > 1 else base_opt)
+        self.state = init_state(trainable, self.optimizer)
+
+        self.logger = MetricsLogger(cfg.log_dir)
+        self.face_stats = RollingStats(("face_detected",))
+        self.profiler = (ProfilerHook(cfg.log_dir) if cfg.profile else None)
+
+        self._steps = {}
+        self._vae_encode = jax.jit(
+            lambda p, x: vae_encode(p, x, SD_VAE)) if vae_params else None
+        # host-pinned copies for the weight hot-swap
+        self._base_unet_host = jax.tree_util.tree_map(np.asarray, frozen["unet"]) \
+            if "comp_unet" in frozen else None
+
+    # -------------------------------------------------------------- steps
+    def _get_step(self, iter_type: str):
+        if iter_type not in self._steps:
+            loss_fn = {
+                "recon": recon_loss_fn,
+                "unet_distill": unet_distill_loss_fn,
+                "comp_distill": (
+                    lambda *a: comp_distill_loss_fn(*a, comp_cfg=self.comp_cfg)),
+            }[iter_type]
+            self._steps[iter_type] = make_train_step(
+                loss_fn, self.optimizer, self.frozen, self.schedule,
+                self.tcfg, donate=False)
+        return self._steps[iter_type]
+
+    def _hot_swap_unet(self, to_comp: bool):
+        """Swap the frozen UNet between base and comp weight sets
+        (`ddpm.py:472-483`); step fns are re-jitted against the new set."""
+        src = self.frozen["comp_unet"] if to_comp else self._base_unet_host
+        self.frozen["unet"] = jax.tree_util.tree_map(jnp.asarray, src)
+        self._steps.clear()
+
+    # ---------------------------------------------------------- host prep
+    def _prepare_batch(self, examples: list[dict], flags, rng) -> Params:
+        batch = collate_batch(examples)
+        b = len(examples)
+        images = batch["image"]  # [B, S, S, 3] in [-1, 1]
+
+        if self._vae_encode is not None:
+            x_start = self._vae_encode(
+                self.vae_params, jnp.asarray(images.transpose(0, 3, 1, 2)))
+        else:
+            hw = self.cfg.image_size // 8
+            x_start = jax.random.normal(
+                jax.random.fold_in(rng, 1), (b, 4, hw, hw))
+
+        # face-ID → teacher image-prompt embeddings (host + frozen towers)
+        uint8_imgs = ((images + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        _, id_embs, clip_feats = self.encoder.extract_init_id_embeds_from_images(
+            list(uint8_imgs), skip_non_faces=False)
+        self.face_stats.update("face_detected", 1.0)
+        _, _, img_prompt_embs, _ = self.encoder.get_batched_img_prompt_embs(
+            b, id_embs, clip_feats, rng=jax.random.fold_in(rng, 2))
+
+        pb = build_4block_prompt_batch(
+            self.em,
+            batch["subj_single_prompt"], batch["subj_comp_prompt"],
+            batch["cls_single_prompt"], batch["cls_comp_prompt"],
+        )
+        hw = x_start.shape[-1]
+        fg = jnp.asarray(batch["fg_mask"])[:, None]
+        aug = jnp.asarray(batch["aug_mask"])[:, None]
+        from adaface_tpu.ops.resize import resize_nearest
+
+        device_batch: Params = {
+            "x_start": x_start,
+            "noise": jax.random.normal(jax.random.fold_in(rng, 3), x_start.shape),
+            "t": jax.random.randint(jax.random.fold_in(rng, 4), (b,), 20, 999),
+            "img_prompt_embs": img_prompt_embs,
+            "prompt_ids": jnp.asarray(pb["prompt_ids"]),
+            "splice_map": jnp.asarray(pb["splice_map"]),
+            "prompt_emb_mask": jnp.asarray(pb["prompt_emb_mask"]),
+            "prompt_pad_mask": jnp.zeros_like(jnp.asarray(pb["prompt_emb_mask"])),
+            "img_mask": resize_nearest(aug, (hw, hw)),
+            "fg_mask": resize_nearest(fg, (hw, hw)),
+            "face_detected": jnp.ones((b,)),
+        }
+
+        if flags.iter_type == "unet_distill" and self.teacher is not None:
+            rs = np.random.RandomState(flags.seed)
+            cfg_scale = self.teacher.sample_cfg_scale(rs)
+            preds, _, _, _ = self.teacher(
+                self.schedule, device_batch["x_start"], device_batch["noise"],
+                device_batch["t"], img_prompt_embs_to_context(img_prompt_embs),
+                num_denoising_steps=1, cfg_scale=cfg_scale,
+                rng=jax.random.fold_in(rng, 5))
+            device_batch["teacher_noise_pred"] = preds[0]
+        elif flags.iter_type == "unet_distill":
+            device_batch["teacher_noise_pred"] = device_batch["noise"]
+
+        if flags.iter_type == "comp_distill":
+            s = self.cfg.image_size
+            scale = hw / s
+            from adaface_tpu.train.face_losses import detect_face_bboxes
+
+            bboxes, detected = detect_face_bboxes(
+                images.transpose(0, 3, 1, 2), heuristic_center=True)
+            device_batch["ss_face_bboxes"] = jnp.asarray(bboxes * scale)
+            device_batch["sc_face_bboxes"] = jnp.asarray(bboxes * scale)
+            device_batch["sc_fg_mask_percent"] = jnp.float32(
+                float(np.mean(batch["fg_mask"])))
+
+        if self.mesh is not None:
+            device_batch = shard_batch(device_batch, self.mesh)
+        return device_batch
+
+    # ---------------------------------------------------------------- run
+    def fit(self, dataset: PersonalizedBase, num_steps: int | None = None):
+        num_steps = num_steps or self.cfg.max_steps
+        sampler = SubjectSampler(dataset, self.cfg.batch_size,
+                                 num_batches=num_steps, seed=self.cfg.seed)
+        it = iter(sampler)
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        metrics = {}
+        for step in range(num_steps):
+            flags = self.planner.plan(step)
+            if flags.switch_weights:
+                self._hot_swap_unet(flags.use_comp_distill_weights)
+            idxs = [next(it) for _ in range(self.cfg.batch_size)]
+            examples = [dataset[i] for i in idxs]
+            rng, sub = jax.random.split(rng)
+            batch = self._prepare_batch(examples, flags, sub)
+            step_fn = self._get_step(flags.iter_type)
+            self.state, metrics = step_fn(self.state, batch,
+                                          jax.random.PRNGKey(flags.seed))
+            self.logger.log_dict(step, {**{k: v for k, v in metrics.items()},
+                                        "iter_type_id": {"recon": 0,
+                                                         "unet_distill": 1,
+                                                         "comp_distill": 2}[
+                                            flags.iter_type]})
+            if self.profiler:
+                self.profiler.maybe_start_stop(step)
+            if self.cfg.ckpt_every and (step + 1) % self.cfg.ckpt_every == 0:
+                self.save(step + 1)
+        return metrics
+
+    def save(self, step: int):
+        out = os.path.join(self.cfg.log_dir, f"checkpoints/embeddings_gs-{step}")
+        save_adaface_ckpt(
+            out, step, {"joint": self.state.params.get("sbg", {})},
+            unet_lora_params=self.state.params.get("attn_lora"))
+        return out
+
+
+def img_prompt_embs_to_context(img_prompt_embs: jax.Array) -> jax.Array:
+    """Teacher context from image-prompt embeddings (the arc2face teacher
+    consumes the 16 img-prompt tokens directly, `prepare_unet_teacher_context`,
+    `ddpm.py:2885-2982`)."""
+    return img_prompt_embs

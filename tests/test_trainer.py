@@ -1,0 +1,105 @@
+import json
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from adaface_tpu.data.personalized import PersonalizedBase
+from adaface_tpu.id2ada.face_backends import DeterministicBackend
+from adaface_tpu.id2ada.face_id_to_ada_prompt import Arc2FaceID2AdaPrompt
+from adaface_tpu.id2ada.teachers import UNetTeacher
+from adaface_tpu.models.clip import init_text_params
+from adaface_tpu.models.unet import init_unet_params
+from adaface_tpu.text.embedding_manager import EmbeddingManager, PlaceholderSpec
+from adaface_tpu.text.tokenizer import CLIPTokenizer
+from adaface_tpu.train.comp_step import CompDistillConfig
+from adaface_tpu.train.iteration_plan import IterationPlanner
+from adaface_tpu.train.train_step import TrainConfig
+from adaface_tpu.train.trainer import Trainer, TrainerConfig
+
+from tests.test_id2ada import SMALL_CLIP, SMALL_VISION, D
+from tests.test_train import UNET_CFG
+
+
+def test_iteration_planner_round_robin():
+    p = IterationPlanner(comp_distill_iter_gap=4, unet_distill_iter_gap=5)
+    types = [p.plan(i).iter_type for i in range(20)]
+    assert types[0] == "comp_distill"
+    assert types[4] == "comp_distill" and types[8] == "comp_distill"
+    assert "unet_distill" in types and "recon" in types
+    # deterministic seeds per (rank, epoch, batch)
+    assert p.plan(3, epoch=1).seed == p.plan(3, epoch=1).seed
+    assert p.plan(3, epoch=1).seed != p.plan(3, epoch=2).seed
+
+
+def test_iteration_planner_weight_switch():
+    p = IterationPlanner(comp_distill_iter_gap=2, has_comp_unet_weights=True)
+    f0 = p.plan(0)  # comp
+    f1 = p.plan(1)  # non-comp
+    f2 = p.plan(2)  # comp
+    assert f0.use_comp_distill_weights and f0.switch_weights
+    assert not f1.use_comp_distill_weights and f1.switch_weights
+    assert f2.use_comp_distill_weights and f2.switch_weights
+
+
+@pytest.fixture(scope="module")
+def toy_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toydata")
+    for name in ("alice", "bob"):
+        d = root / name
+        d.mkdir()
+        rs = np.random.RandomState(hash(name) % 99)
+        for i in range(2):
+            Image.fromarray(
+                rs.randint(0, 255, (64, 64, 3), np.uint8)).save(d / f"{i}.png")
+    (root / "metainfo.json").write_text(json.dumps(
+        {"alice": {"cls_delta_string": "woman"},
+         "bob": {"cls_delta_string": "man"}}))
+    return str(root)
+
+
+def test_trainer_runs_all_iteration_types(toy_dataset, tmp_path):
+    rng = jax.random.PRNGKey(0)
+    tok = CLIPTokenizer.character_fallback()
+    k_id = 16  # arc2face always emits 16 img-prompt tokens
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", k_id)])
+    encoder = Arc2FaceID2AdaPrompt(
+        jax.random.fold_in(rng, 1),
+        face_backend=DeterministicBackend(),
+        clip_vision_cfg=SMALL_VISION, sbg_clip_cfg=SMALL_CLIP,
+        text_cfg=SMALL_CLIP, output_dim=D, is_training=True)
+
+    unet = init_unet_params(jax.random.fold_in(rng, 3), UNET_CFG)
+    text = init_text_params(jax.random.fold_in(rng, 4), SMALL_CLIP)
+    frozen = {"unet": unet, "text_encoder": text,
+              "sbg_buffers": encoder.subj_basis_generator["buffers"]}
+    trainable = {"sbg": encoder.subj_basis_generator["params"]}
+
+    cfg = TrainerConfig(
+        log_dir=str(tmp_path / "logs"), batch_size=2, max_steps=6,
+        accum_steps=1, ckpt_every=6, optimizer="adamw", lr=1e-4,
+        warmup_steps=1, comp_distill_iter_gap=3, unet_distill_iter_gap=2,
+        image_size=128, num_vectors_per_subj_token=k_id)
+    # image 128 → x_start 16x16 (no VAE → size/8)
+    train_cfg = TrainConfig(unet=UNET_CFG, sbg=encoder.sbg_cfg,
+                            clip_text=SMALL_CLIP)
+    teacher = UNetTeacher(unet_params=unet, unet_cfg=UNET_CFG)
+    comp_cfg = CompDistillConfig(num_priming_steps=1, num_denoising_steps=2)
+
+    trainer = Trainer(cfg, train_cfg, frozen, trainable, encoder, em,
+                      vae_params=None, teacher=teacher, comp_cfg=comp_cfg)
+    ds = PersonalizedBase(toy_dataset, num_vectors_per_subj_token=k_id,
+                          size=128, seed=0)
+    metrics = trainer.fit(ds, num_steps=6)
+    assert np.isfinite(float(metrics["loss"]))
+    # all three iteration types ran
+    assert trainer.planner.comp_iters >= 1
+    assert trainer.planner.unet_distill_iters >= 1
+    assert trainer.planner.recon_iters >= 1
+    # metrics CSV + checkpoint written
+    import os
+
+    assert os.path.exists(os.path.join(cfg.log_dir, "metrics.csv"))
+    ckpts = os.listdir(os.path.join(cfg.log_dir, "checkpoints"))
+    assert any(c.startswith("embeddings_gs-") for c in ckpts)

@@ -1,0 +1,113 @@
+"""Training CLI — `python train.py --base configs/stage1-distill-joint.yaml
+--data_roots <subject folders> [key.path=value …]`.
+
+Rebuild of the reference trainer entry (`main.py:492-976`): YAML config +
+dot-list overrides (`main.py:609-613`), builds the model stack, and runs
+the Trainer. Checkpoints land in `<log_dir>/checkpoints/embeddings_gs-N`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import yaml
+
+
+def apply_dotlist(cfg: dict, overrides: list[str]) -> dict:
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        parts = key.split(".")
+        node = cfg
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = yaml.safe_load(val)
+    return cfg
+
+
+def build_and_train(cfg: dict, args):
+    import numpy as np
+
+    from adaface_tpu.id2ada.face_id_to_ada_prompt import create_id2ada_prompt_encoder
+    from adaface_tpu.id2ada.teachers import create_unet_teacher
+    from adaface_tpu.data.personalized import PersonalizedBase
+    from adaface_tpu.models.clip import init_text_params
+    from adaface_tpu.models.unet import SD15_UNET, init_unet_params
+    from adaface_tpu.models.vae import init_vae_params
+    from adaface_tpu.text.embedding_manager import EmbeddingManager, PlaceholderSpec
+    from adaface_tpu.text.tokenizer import default_tokenizer
+    from adaface_tpu.train.comp_step import CompDistillConfig
+    from adaface_tpu.train.train_step import TrainConfig
+    from adaface_tpu.train.trainer import Trainer, TrainerConfig
+
+    tcfg_dict = cfg.get("trainer", {})
+    tc_fields = {f.name for f in dataclasses.fields(TrainerConfig)}
+    trainer_cfg = TrainerConfig(
+        data_roots=args.data_roots, log_dir=args.log_dir,
+        **{k: v for k, v in tcfg_dict.items() if k in tc_fields})
+
+    rng = jax.random.PRNGKey(trainer_cfg.seed)
+    print("Initializing model stack (host)...", flush=True)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        unet = init_unet_params(jax.random.fold_in(rng, 1), SD15_UNET)
+        text = init_text_params(jax.random.fold_in(rng, 2))
+        vae = init_vae_params(jax.random.fold_in(rng, 3))
+        encoder = create_id2ada_prompt_encoder(
+            cfg.get("model", {}).get("id2ada_encoder", "arc2face"),
+            jax.random.fold_in(rng, 4), is_training=True)
+
+    # TODO(weights): load converted SD1.5/arc2face checkpoints here via
+    # adaface_tpu.tools.convert_sd / convert_clip when available on disk.
+
+    tok = default_tokenizer()
+    n_vec = trainer_cfg.num_vectors_per_subj_token
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", n_vec)])
+
+    enc0 = encoder.encoders[0] if hasattr(encoder, "encoders") else encoder
+    sbg = enc0.subj_basis_generator
+    frozen = {"unet": unet, "text_encoder": text, "sbg_buffers": sbg["buffers"]}
+    trainable = {"sbg": sbg["params"]}
+
+    teacher = None
+    if cfg.get("teacher"):
+        teacher = create_unet_teacher(
+            "simple_unet", unet_params=unet,
+            p_uses_cfg=cfg["teacher"].get("p_uses_cfg", 0.0),
+            cfg_scale_range=tuple(cfg["teacher"].get("cfg_scale_range", (1.3, 2.0))))
+
+    comp_fields = {f.name for f in dataclasses.fields(CompDistillConfig)}
+    comp_cfg = CompDistillConfig(**{
+        k: v for k, v in cfg.get("comp_distill", {}).items()
+        if k in comp_fields})
+
+    train_cfg = TrainConfig(sbg=enc0.sbg_cfg)
+    dataset = PersonalizedBase(
+        trainer_cfg.data_roots, subject_string="z",
+        num_vectors_per_subj_token=n_vec, size=trainer_cfg.image_size,
+        seed=trainer_cfg.seed)
+    print(f"{dataset.num_subjects()} subjects, {len(dataset)} images")
+
+    trainer = Trainer(trainer_cfg, train_cfg, frozen, trainable, encoder, em,
+                      vae_params=vae, teacher=teacher, comp_cfg=comp_cfg)
+    trainer.fit(dataset, num_steps=args.max_steps or trainer_cfg.max_steps)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", required=True, help="YAML config path")
+    ap.add_argument("--data_roots", nargs="+", required=True)
+    ap.add_argument("--log_dir", default="logs/run")
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("overrides", nargs="*", help="dot.key=value overrides")
+    args = ap.parse_args()
+
+    with open(args.base) as f:
+        cfg = yaml.safe_load(f)
+    cfg = apply_dotlist(cfg, args.overrides)
+    build_and_train(cfg, args)
+
+
+if __name__ == "__main__":
+    main()
