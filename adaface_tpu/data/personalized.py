@@ -77,6 +77,7 @@ class PersonalizedBase:
         default_cls_delta_string: str = "person",
         rand_scale_p: float = 1.0,
         seed: int | None = None,
+        use_native: bool = True,
     ):
         if isinstance(data_roots, str):
             data_roots = [data_roots]
@@ -88,6 +89,7 @@ class PersonalizedBase:
         self.shift_p = shift_p
         self.max_shift_frac = max_shift_frac
         self.rand_scale_p = rand_scale_p
+        self.use_native = use_native
         self.rng = np.random.RandomState(seed)
 
         self.subjects: list[Subject] = []
@@ -151,36 +153,61 @@ class PersonalizedBase:
 
         Returns (image [H,W,3] float32 in [-1,1], fg_mask [H,W], aug_mask
         [H,W]) — aug_mask marks pixels covered by the (possibly shrunken)
-        source image (`personalized.py:426-511`)."""
+        source image (`personalized.py:426-511`). Augmentation decisions
+        are drawn once; the pixel work runs through the native C++
+        pipeline (`adaface_tpu.native`) when available, the numpy path
+        otherwise."""
+        s = self.size
+        # draw all decisions first so both backends apply identical augs
+        do_flip = self.rng.rand() < self.flip_p
+        scale = (self.rng.uniform(*self.scale_range)
+                 if self.rng.rand() < self.rand_scale_p else 1.0)
+        if self.rng.rand() < self.shift_p:
+            max_shift = int(s * self.max_shift_frac)
+            dy = int(self.rng.randint(-max_shift, max_shift + 1))
+            dx = int(self.rng.randint(-max_shift, max_shift + 1))
+        else:
+            dy = dx = 0
+
+        if self.use_native:
+            from adaface_tpu.native import prepare_item_native
+
+            fg_u8 = (None if fg_mask is None
+                     else (fg_mask * 255).astype(np.uint8))
+            native = prepare_item_native(img, fg_u8, s, do_flip, scale, dy, dx)
+            if native is not None:
+                return native
+
+        return self._augment_numpy(img, fg_mask, do_flip, scale, dy, dx)
+
+    def _augment_numpy(self, img, fg_mask, do_flip, scale, dy, dx):
         s = self.size
         aug_mask = np.ones((s, s), np.float32)
         if fg_mask is None:
             fg_mask = np.ones((s, s), np.float32)
 
-        if self.rng.rand() < self.flip_p:
+        if do_flip:
             img = img[:, ::-1]
             fg_mask = fg_mask[:, ::-1]
 
-        if self.rng.rand() < self.rand_scale_p:
-            scale = self.rng.uniform(*self.scale_range)
+        if True:
             if scale < 0.999:
+                # floor-convention nearest resize (matches the native lib
+                # and ops/resize.py; PIL NEAREST rounds differently)
                 ns = max(int(s * scale), 8)
-                im = Image.fromarray(img).resize((ns, ns), Image.NEAREST)
-                fm = Image.fromarray(
-                    (fg_mask * 255).astype(np.uint8)).resize((ns, ns), Image.NEAREST)
+                idx = (np.arange(ns) * s // ns).astype(np.int64)
+                small = img[idx][:, idx]
+                small_m = fg_mask[idx][:, idx]
                 canvas = np.zeros((s, s, 3), img.dtype)
                 mcanvas = np.zeros((s, s), np.float32)
                 acanvas = np.zeros((s, s), np.float32)
                 off = (s - ns) // 2
-                canvas[off:off + ns, off:off + ns] = np.asarray(im)
-                mcanvas[off:off + ns, off:off + ns] = np.asarray(fm) / 255.0
+                canvas[off:off + ns, off:off + ns] = small
+                mcanvas[off:off + ns, off:off + ns] = small_m
                 acanvas[off:off + ns, off:off + ns] = 1.0
                 img, fg_mask, aug_mask = canvas, mcanvas, acanvas
 
-        if self.rng.rand() < self.shift_p:
-            max_shift = int(s * self.max_shift_frac)
-            dx = self.rng.randint(-max_shift, max_shift + 1)
-            dy = self.rng.randint(-max_shift, max_shift + 1)
+        if dy != 0 or dx != 0:
             img = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
             fg_mask = np.roll(np.roll(fg_mask, dy, axis=0), dx, axis=1)
             aug_mask = np.roll(np.roll(aug_mask, dy, axis=0), dx, axis=1)

@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from adaface_tpu.tools.ckpt_lib import (
+    average_state_dicts,
+    cast_fp16,
+    check_weights,
+    extract_subtree,
+    load_state_dict,
+    model_diff,
+    replace_by_pattern,
+    replace_subtree,
+    save_state_dict,
+)
+
+
+def _sd(seed=0):
+    rs = np.random.RandomState(seed)
+    return {
+        "first_stage_model.encoder.w": rs.randn(4, 4).astype(np.float32),
+        "cond_stage_model.emb": rs.randn(3).astype(np.float32),
+        "model.diffusion_model.conv.w": rs.randn(2, 2).astype(np.float32),
+        "step": np.asarray(5),
+    }
+
+
+def test_save_load_roundtrip_formats(tmp_path):
+    sd = _sd()
+    for ext in ("safetensors", "npz"):
+        p = str(tmp_path / f"ckpt.{ext}")
+        save_state_dict({k: v for k, v in sd.items() if k != "step"}, p)
+        back = load_state_dict(p)
+        np.testing.assert_allclose(back["cond_stage_model.emb"],
+                                   sd["cond_stage_model.emb"])
+
+
+def test_replace_subtree():
+    base, donor = _sd(0), _sd(1)
+    out = replace_subtree(base, donor, "first_stage_model.")
+    np.testing.assert_allclose(out["first_stage_model.encoder.w"],
+                               donor["first_stage_model.encoder.w"])
+    np.testing.assert_allclose(out["cond_stage_model.emb"],
+                               base["cond_stage_model.emb"])
+    with pytest.raises(KeyError):
+        replace_subtree(base, donor, "nonexistent.")
+
+
+def test_extract_average_fp16_diff():
+    a, b = _sd(0), _sd(1)
+    unet = extract_subtree(a, "model.diffusion_model.")
+    assert list(unet) == ["conv.w"]
+
+    avg = average_state_dicts([a, b], [0.5, 0.5])
+    np.testing.assert_allclose(
+        avg["cond_stage_model.emb"],
+        (a["cond_stage_model.emb"] + b["cond_stage_model.emb"]) / 2, rtol=1e-6)
+
+    h = cast_fp16(a)
+    assert h["first_stage_model.encoder.w"].dtype == np.float16
+    assert h["step"].dtype != np.float16
+
+    rows, ma, mb = model_diff(a, b)
+    assert rows[0][1] > 0 and not ma and not mb
+
+
+def test_check_and_pattern_replace():
+    a = _sd(0)
+    a["bad"] = np.asarray([np.nan, 1.0], np.float32)
+    stats = check_weights(a)
+    assert stats["nan_keys"] == ["bad"]
+
+    donor = _sd(1)
+    out = replace_by_pattern(_sd(0), donor, ["*diffusion_model*"])
+    np.testing.assert_allclose(out["model.diffusion_model.conv.w"],
+                               donor["model.diffusion_model.conv.w"])
+
+
+def test_torch_ckpt_loading(tmp_path):
+    import torch
+
+    p = str(tmp_path / "m.ckpt")
+    torch.save({"state_dict": {"a.w": torch.arange(4.0)}}, p)
+    sd = load_state_dict(p)
+    np.testing.assert_allclose(sd["a.w"], [0, 1, 2, 3])
