@@ -122,6 +122,7 @@ class DiffusionPipeline:
         rng: jax.Array | None = None,
         latents: jax.Array | None = None,
         return_latents: bool = False,
+        scheduler: str = "ddim",  # ddim | dpm++ | pndm | lcm
     ):
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -136,16 +137,43 @@ class DiffusionPipeline:
         cond, uncond = self.encode_prompt(
             prompts, [negative_prompt] * b if guidance_scale > 1 else None)
 
-        ddim_cfg = DDIMConfig(
-            num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale,
-            guidance_scale_min=guidance_scale_min,
-        )
-        key = (num_inference_steps, guidance_scale, guidance_scale_min)
-        if self._generate is None or self._gen_key != key:
-            self._generate = self._build_generate(ddim_cfg)
-            self._gen_key = key
-        z0 = self._generate(self.m.unet, cond, uncond, latents, k_samp)
+        if scheduler == "ddim":
+            ddim_cfg = DDIMConfig(
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale,
+                guidance_scale_min=guidance_scale_min,
+            )
+            key = (num_inference_steps, guidance_scale, guidance_scale_min)
+            if self._generate is None or self._gen_key != key:
+                self._generate = self._build_generate(ddim_cfg)
+                self._gen_key = key
+            z0 = self._generate(self.m.unet, cond, uncond, latents, k_samp)
+        else:
+            from adaface_tpu.ops.samplers import (
+                dpm_solver_pp_sample, lcm_sample, pndm_sample)
+
+            unet_cfg = self.m.unet_cfg
+
+            def model_fn(x, t, ctx):
+                eps, _ = unet_apply(self.m.unet, x, t, ctx, unet_cfg)
+                return eps
+
+            if scheduler == "dpm++":
+                z0 = dpm_solver_pp_sample(
+                    model_fn, self.m.schedule, latents, cond, uncond,
+                    num_inference_steps=num_inference_steps,
+                    guidance_scale=guidance_scale)
+            elif scheduler == "pndm":
+                z0 = pndm_sample(
+                    model_fn, self.m.schedule, latents, cond, uncond,
+                    num_inference_steps=num_inference_steps,
+                    guidance_scale=guidance_scale)
+            elif scheduler == "lcm":
+                z0 = lcm_sample(
+                    model_fn, self.m.schedule, latents, cond,
+                    num_inference_steps=num_inference_steps, rng=k_samp)
+            else:
+                raise ValueError(f"unknown scheduler '{scheduler}'")
         if return_latents:
             return z0
         img = self._decode(self.m.vae, z0)

@@ -169,3 +169,171 @@ def multistep_denoise(
         step, x_start, (noises, timesteps)
     )
     return noise_preds, x_starts, x_ts
+
+
+# ---------------------------------------------------------------------------
+# Additional schedulers installed by AdaFaceWrapper
+# (`adaface_wrapper.py:234-277`: DDIM / PNDM / DPM++ / LCM)
+# ---------------------------------------------------------------------------
+
+
+def dpm_solver_pp_sample(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    x_T: jax.Array,
+    cond_ctx,
+    uncond_ctx=None,
+    num_inference_steps: int = 25,
+    guidance_scale: float = 6.0,
+) -> jax.Array:
+    """DPM-Solver++(2M) multistep (the diffusers `DPMSolverMultistep`
+    scheduler the wrapper can install). Data-prediction form with
+    log-SNR interpolation; second-order from step 2 onward."""
+    ts = ddim_timesteps(schedule.num_timesteps, num_inference_steps)
+    ac = np.asarray(schedule.alphas_cumprod)
+    alpha = np.sqrt(ac[ts])
+    sigma = np.sqrt(1.0 - ac[ts])
+    lam = np.log(alpha / sigma)
+    # append the final (t=0) point: alpha 1, sigma ~0
+    alpha = np.append(alpha, 1.0)
+    sigma = np.append(sigma, 1e-3)
+    lam = np.append(lam, np.log(alpha[-1] / sigma[-1]))
+
+    use_cfg = uncond_ctx is not None
+    if use_cfg:
+        ctx = jax.tree_util.tree_map(
+            lambda u, c: jnp.concatenate([u, c], 0), uncond_ctx, cond_ctx)
+    else:
+        ctx = cond_ctx
+    b = x_T.shape[0]
+
+    def eps_pred(x, t_scalar):
+        tb = jnp.full((b,), t_scalar, jnp.int32)
+        if use_cfg:
+            e2 = model_fn(jnp.concatenate([x, x], 0),
+                          jnp.concatenate([tb, tb], 0), ctx)
+            eu, ec = jnp.split(e2.astype(jnp.float32), 2, 0)
+            return eu + guidance_scale * (ec - eu)
+        return model_fn(x, tb, ctx).astype(jnp.float32)
+
+    x = x_T.astype(jnp.float32)
+    d_prev = None
+    for i in range(num_inference_steps):
+        eps = eps_pred(x.astype(x_T.dtype), int(ts[i]))
+        # data prediction x0
+        d_cur = (x - sigma[i] * eps) / alpha[i]
+        h = lam[i + 1] - lam[i]
+        if d_prev is None:
+            d = d_cur
+        else:
+            h_prev = lam[i] - lam[i - 1]
+            r = h_prev / h
+            d = (1 + 1 / (2 * r)) * d_cur - (1 / (2 * r)) * d_prev
+        x = (sigma[i + 1] / sigma[i]) * x \
+            - alpha[i + 1] * float(np.expm1(-h)) * d
+        d_prev = d_cur
+    return x.astype(x_T.dtype)
+
+
+def pndm_sample(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    x_T: jax.Array,
+    cond_ctx,
+    uncond_ctx=None,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 6.0,
+) -> jax.Array:
+    """PNDM (pseudo linear multistep): 4th-order Adams–Bashforth on the
+    eps history after a DDIM-stepped warmup (skipping the Runge-Kutta
+    prk phase as diffusers does with `skip_prk_steps=True` for SD)."""
+    ts = ddim_timesteps(schedule.num_timesteps, num_inference_steps)
+    ac = schedule.alphas_cumprod
+    step_gap = schedule.num_timesteps // num_inference_steps
+
+    use_cfg = uncond_ctx is not None
+    if use_cfg:
+        ctx = jax.tree_util.tree_map(
+            lambda u, c: jnp.concatenate([u, c], 0), uncond_ctx, cond_ctx)
+    else:
+        ctx = cond_ctx
+    b = x_T.shape[0]
+
+    def eps_pred(x, t_scalar):
+        tb = jnp.full((b,), t_scalar, jnp.int32)
+        if use_cfg:
+            e2 = model_fn(jnp.concatenate([x, x], 0),
+                          jnp.concatenate([tb, tb], 0), ctx)
+            eu, ec = jnp.split(e2.astype(jnp.float32), 2, 0)
+            return eu + guidance_scale * (ec - eu)
+        return model_fn(x, tb, ctx).astype(jnp.float32)
+
+    def transfer(x, t, t_prev, eps):
+        a_t = ac[jnp.maximum(t, 0)]
+        a_p = jnp.where(t_prev >= 0, ac[jnp.maximum(t_prev, 0)], 1.0)
+        x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        return jnp.sqrt(a_p) * x0 + jnp.sqrt(1 - a_p) * eps
+
+    x = x_T.astype(jnp.float32)
+    history = []
+    for i in range(num_inference_steps):
+        t = int(ts[i])
+        t_prev = t - step_gap
+        eps = eps_pred(x.astype(x_T.dtype), t)
+        history.append(eps)
+        if len(history) == 1:
+            eps_used = eps
+        elif len(history) == 2:
+            eps_used = (3 * history[-1] - history[-2]) / 2
+        elif len(history) == 3:
+            eps_used = (23 * history[-1] - 16 * history[-2]
+                        + 5 * history[-3]) / 12
+        else:
+            eps_used = (55 * history[-1] - 59 * history[-2]
+                        + 37 * history[-3] - 9 * history[-4]) / 24
+            history.pop(0)
+        x = transfer(x, t, t_prev, eps_used)
+    return x.astype(x_T.dtype)
+
+
+def lcm_sample(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    x_T: jax.Array,
+    cond_ctx,
+    num_inference_steps: int = 4,
+    rng: jax.Array | None = None,
+    original_inference_steps: int = 50,
+) -> jax.Array:
+    """LCM few-step sampler (`LCMScheduler`; the wrapper's 4-step path,
+    `adaface_wrapper.py:262-271`): consistency x0 prediction with the
+    boundary-condition skip/out scalings, re-noising between steps.
+    No CFG (LCM distils guidance into the model)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    k = schedule.num_timesteps // original_inference_steps
+    lcm_origin = (np.arange(1, original_inference_steps + 1) * k - 1)
+    idx = np.linspace(0, len(lcm_origin) - 1, num_inference_steps)
+    ts = lcm_origin[::-1][idx.astype(int)]
+    ac = schedule.alphas_cumprod
+    b = x_T.shape[0]
+    sigma_data = 0.5
+
+    x = x_T.astype(jnp.float32)
+    for i, t in enumerate(ts):
+        tb = jnp.full((b,), int(t), jnp.int32)
+        eps = model_fn(x.astype(x_T.dtype), tb, cond_ctx).astype(jnp.float32)
+        a_t = ac[int(t)]
+        x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        # boundary-condition scalings
+        t_scaled = float(t) / 10.0  # timestep_scaling 10 / 0.1 convention
+        c_skip = sigma_data**2 / ((t_scaled / 10) ** 2 + sigma_data**2)
+        c_out = (t_scaled / 10) / np.sqrt((t_scaled / 10) ** 2 + sigma_data**2)
+        denoised = c_skip * x + c_out * x0
+        if i < len(ts) - 1:
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, x.shape, jnp.float32)
+            a_next = ac[int(ts[i + 1])]
+            x = jnp.sqrt(a_next) * denoised + jnp.sqrt(1 - a_next) * noise
+        else:
+            x = denoised
+    return x.astype(x_T.dtype)

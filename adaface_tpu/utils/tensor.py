@@ -73,3 +73,45 @@ def ortho_subtract(a: jax.Array, b: jax.Array, eps: float = 1e-8) -> jax.Array:
     dot = jnp.sum(a * b, axis=-1, keepdims=True)
     norm_sq = jnp.sum(b * b, axis=-1, keepdims=True)
     return a - dot / (norm_sq + eps) * b
+
+
+def anneal_value(training_percent: float, final_percent: float,
+                 value_range: tuple[float, float]) -> float:
+    """Linear annealing from value_range[0] to value_range[1], reaching the
+    end value at final_percent of training (`ldm/util.py:1242-1252`)."""
+    lo, hi = value_range
+    if final_percent <= 0:
+        return hi
+    frac = min(training_percent / final_percent, 1.0)
+    return lo + (hi - lo) * frac
+
+
+def anneal_perturb_embedding(
+    rng: jax.Array,
+    embeddings: jax.Array,
+    training_percent: float,
+    begin_std_range: tuple[float, float],
+    end_std_range: tuple[float, float] | None,
+    perturb_prob: float,
+    std_is_relative: bool = True,
+    keep_norm: bool = False,
+) -> jax.Array:
+    """Probabilistic, annealed embedding perturbation
+    (`anneal_perturb_embedding`, `ldm/util.py:1569-1597`): std sampled
+    from a range that anneals over training; applied with perturb_prob."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    if end_std_range is not None:
+        lo = anneal_value(training_percent, 1.0,
+                          (begin_std_range[0], end_std_range[0]))
+        hi = anneal_value(training_percent, 1.0,
+                          (begin_std_range[1], end_std_range[1]))
+    else:
+        lo, hi = begin_std_range
+    std = jax.random.uniform(k1, (), minval=lo, maxval=hi)
+    noise_std = std * (jnp.std(embeddings) if std_is_relative else 1.0)
+    noise = jax.random.normal(k2, embeddings.shape, embeddings.dtype)
+    out = embeddings + noise * noise_std.astype(embeddings.dtype)
+    if keep_norm:
+        out = out * (jnp.linalg.norm(embeddings) / (jnp.linalg.norm(out) + 1e-8))
+    apply = jax.random.bernoulli(k3, perturb_prob)
+    return jnp.where(apply, out, embeddings)
