@@ -28,7 +28,7 @@ Params = dict[str, Any]
 
 @dataclasses.dataclass
 class PipelineModules:
-    unet: Params
+    unet: Params  # a single UNet, or a list for a UNetEnsemble
     vae: Params
     text_encoder: Params
     tokenizer: CLIPTokenizer
@@ -36,6 +36,9 @@ class PipelineModules:
     vae_cfg: VAEConfig = SD_VAE
     text_cfg: clip_mod.CLIPTextConfig = clip_mod.CLIP_L_TEXT
     schedule: DiffusionSchedule | None = None
+    # weighted UNet ensemble (`adaface/util.py:174-247` UNetEnsemble,
+    # installed by AdaFaceWrapper when multiple unet paths are given)
+    unet_weights: tuple | None = None
 
     def __post_init__(self):
         if self.schedule is None:
@@ -91,14 +94,22 @@ class DiffusionPipeline:
         return cond, uncond
 
     # ------------------------------------------------------------ sampling
+    def _unet_eps(self, unet_params, x, t, ctx):
+        cfg = self.m.unet_cfg
+        if isinstance(unet_params, (list, tuple)):
+            w = self.m.unet_weights or [1.0 / len(unet_params)] * len(unet_params)
+            w = jnp.asarray(w) / jnp.asarray(w).sum()
+            preds = [unet_apply(p, x, t, ctx, cfg)[0] for p in unet_params]
+            return sum(wi * p for wi, p in zip(w, preds))
+        eps, _ = unet_apply(unet_params, x, t, ctx, cfg)
+        return eps
+
     def _build_generate(self, ddim_cfg: DDIMConfig):
-        unet_cfg = self.m.unet_cfg
         schedule = self.m.schedule
 
         def model_fn_factory(unet_params):
             def model_fn(x, t, ctx):
-                eps, _ = unet_apply(unet_params, x, t, ctx, unet_cfg)
-                return eps
+                return self._unet_eps(unet_params, x, t, ctx)
             return model_fn
 
         @functools.partial(jax.jit, static_argnames=())
@@ -134,8 +145,10 @@ class DiffusionPipeline:
             latents = jax.random.normal(
                 k_lat, (b, 4, height // s, width // s), self.dtype)
 
+        max_len = self.m.text_encoder["position_embedding"].shape[0]
         cond, uncond = self.encode_prompt(
-            prompts, [negative_prompt] * b if guidance_scale > 1 else None)
+            prompts, [negative_prompt] * b if guidance_scale > 1 else None,
+            max_length=max_len)
 
         if scheduler == "ddim":
             ddim_cfg = DDIMConfig(
@@ -152,11 +165,8 @@ class DiffusionPipeline:
             from adaface_tpu.ops.samplers import (
                 dpm_solver_pp_sample, lcm_sample, pndm_sample)
 
-            unet_cfg = self.m.unet_cfg
-
             def model_fn(x, t, ctx):
-                eps, _ = unet_apply(self.m.unet, x, t, ctx, unet_cfg)
-                return eps
+                return self._unet_eps(self.m.unet, x, t, ctx)
 
             if scheduler == "dpm++":
                 z0 = dpm_solver_pp_sample(

@@ -43,6 +43,7 @@ class AdaFaceWrapper:
         num_inference_steps: int = 50,
         out_id_embs_cfg_scale: float | None = None,
         dtype=jnp.bfloat16,
+        max_prompt_length: int = 77,
     ):
         if pipeline_name in ("sdxl", "sd3", "flux"):
             raise NotImplementedError(
@@ -57,6 +58,14 @@ class AdaFaceWrapper:
         if out_id_embs_cfg_scale is not None:
             id2ada_prompt_encoder.out_id_embs_cfg_scale = out_id_embs_cfg_scale
         self.dtype = dtype
+        if max_prompt_length > 77:
+            # prompt-length extension to 97/147 by reusing the trailing
+            # position embeddings (`adaface_wrapper.py:204-222`)
+            from adaface_tpu.models.clip import extend_position_embedding
+
+            modules.text_encoder = extend_position_embedding(
+                modules.text_encoder, max_prompt_length)
+        self.max_prompt_length = max_prompt_length
         self.placeholder_tokens: list[list[str]] = []
         self.placeholder_token_ids: list[list[int]] = []
         self.extend_tokenizer_and_text_encoder()

@@ -111,3 +111,44 @@ def test_wrapper_img2img(modules):
 def test_wrapper_rejects_unimplemented_pipelines(modules):
     with pytest.raises(NotImplementedError):
         AdaFaceWrapper("sdxl", modules, None)
+
+
+def test_pipeline_unet_ensemble(modules):
+    import dataclasses
+
+    from adaface_tpu.models.unet import init_unet_params
+
+    unet2 = init_unet_params(jax.random.PRNGKey(7), TINY_UNET)
+    m2 = dataclasses.replace(modules) if dataclasses.is_dataclass(modules) else modules
+    import copy
+
+    m2 = copy.copy(modules)
+    m2.unet = [modules.unet, unet2]
+    m2.unet_weights = (0.6, 0.4)
+    pipe = DiffusionPipeline(m2, dtype=jnp.float32)
+    img = pipe("a cat", num_inference_steps=2, guidance_scale=3.0,
+               height=128, width=128)
+    assert img.shape == (1, 3, 128, 128)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_wrapper_long_prompts(modules):
+    import copy
+
+    from adaface_tpu.id2ada.face_backends import DeterministicBackend
+    from adaface_tpu.id2ada.face_id_to_ada_prompt import Arc2FaceID2AdaPrompt
+
+    m2 = copy.copy(modules)
+    m2.text_encoder = dict(modules.text_encoder)
+    enc = Arc2FaceID2AdaPrompt(
+        jax.random.PRNGKey(5), face_backend=DeterministicBackend(),
+        clip_vision_cfg=TINY_VISION, sbg_clip_cfg=TINY_TEXT,
+        text_cfg=TINY_TEXT, output_dim=D)
+    w = AdaFaceWrapper("text2img", m2, enc, dtype=jnp.float32,
+                       max_prompt_length=147, num_inference_steps=2)
+    assert m2.text_encoder["position_embedding"].shape[0] == 147
+    long_prompt = "a portrait of a person " * 20  # > 77 tokens
+    out = w.forward(long_prompt, num_images=1, num_inference_steps=2,
+                    height=128, width=128)
+    assert out.shape == (1, 3, 128, 128)
+    assert np.isfinite(np.asarray(out)).all()
