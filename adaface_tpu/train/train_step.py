@@ -45,6 +45,10 @@ class TrainConfig:
     mb_suppress_weight: float = 0.1
     unet_distill_weight: float = 8.0
     clip_skip_weights: tuple = (0.25, 0.75)  # last-2-layer CLIP skip
+    # ada-embedding training perturbation (`embedding_manager.py:379-388`
+    # via anneal_perturb_embedding): relative-std range + per-iter prob
+    training_perturb_std_range: tuple = (0.05, 0.1)
+    training_perturb_prob: float = 0.5
 
 
 @jax.tree_util.register_pytree_node_class
@@ -80,12 +84,18 @@ def _encode_prompts_with_ada(
         axis=0,
     )
     embs = splice_ada_embeddings(base, ada4, splice_map)
+    # per-iteration Dirichlet-sampled CLIP-skip weights when provided
+    # (`randomize_clip_skip_weights`, `modules.py:424-452`), else the
+    # configured constants
+    skip_w = batch.get("clip_skip_weights")
+    if skip_w is None:
+        skip_w = jnp.asarray(cfg.clip_skip_weights)
     out = clip_mod.text_encode(
         frozen["text_encoder"],
         ids,
         cfg.clip_text,
         input_embs=embs,
-        skip_weights=jnp.asarray(cfg.clip_skip_weights),
+        skip_weights=skip_w,
     )
     return out["last_hidden_state"]
 
@@ -112,6 +122,13 @@ def recon_loss_fn(
         sbg, batch["img_prompt_embs"], cfg.sbg,
         out_id_embs_cfg_scale=1.0, is_face=True,
     )
+    if cfg.training_perturb_prob > 0:
+        from adaface_tpu.utils.tensor import anneal_perturb_embedding
+
+        rng, k_pert = jax.random.split(rng)
+        ada = anneal_perturb_embedding(
+            k_pert, ada, 0.0, cfg.training_perturb_std_range, None,
+            cfg.training_perturb_prob)
 
     ctx4 = _encode_prompts_with_ada(frozen, ada, batch, cfg)
     b = batch["x_start"].shape[0]

@@ -178,6 +178,10 @@ class Trainer:
             "img_mask": resize_nearest(aug, (hw, hw)),
             "fg_mask": resize_nearest(fg, (hw, hw)),
             "face_detected": jnp.ones((b,)),
+            # per-iteration Dirichlet-randomized CLIP-skip weights
+            # (`get_text_conditioning`, `ddpm.py:739-853`)
+            "clip_skip_weights": jnp.asarray(np.random.RandomState(
+                flags.seed).dirichlet((5.0, 15.0)), jnp.float32),
         }
 
         if flags.iter_type == "unet_distill" and self.teacher is not None:

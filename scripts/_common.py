@@ -57,15 +57,15 @@ def _load_base_model(modules, path: str):
     from adaface_tpu.tools.convert_clip import convert_text_model
     from adaface_tpu.tools.convert_sd import convert_unet, convert_vae_ldm
 
+    from adaface_tpu.tools.convert_ldm_unet import convert_ldm_unet
+
     sd = load_state_dict(path)
     if any(k.startswith("model.diffusion_model.") for k in sd):
-        # LDM single-file layout — needs diffusers-format conversion of the
-        # UNet subtree; VAE and text encoder convert directly
+        # LDM single-file layout: convert all three towers
         modules.vae = convert_vae_ldm(sd)
         te = extract_subtree(sd, "cond_stage_model.transformer.")
         modules.text_encoder, modules.text_cfg = convert_text_model(te)
-        print("NOTE: LDM-format UNet loading requires the diffusers key "
-              "conversion; pass a diffusers-format unet for full loading.")
+        modules.unet = convert_ldm_unet(sd)
     else:
         modules.unet = convert_unet(sd)
     print(f"loaded base model weights from {path}")

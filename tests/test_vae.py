@@ -154,3 +154,77 @@ def test_unet_converter_roundtrip():
     e1, _ = unet_apply(params, x, t, ctx, cfg)
     e2, _ = unet_apply(rec, x, t, ctx, cfg)
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
+
+
+def test_ldm_unet_key_conversion_roundtrip():
+    """our params → diffusers keys → LDM keys → back must be exact."""
+    import numpy as np
+
+    from adaface_tpu.models.unet import UNetConfig, init_unet_params, unet_apply
+    from adaface_tpu.tools.convert_ldm_unet import (
+        convert_ldm_unet, ldm_unet_to_diffusers_keys)
+    from adaface_tpu.tools.convert_sd import export_unet_to_diffusers
+
+    cfg = UNetConfig(block_channels=(32, 64, 64, 64), cross_attn_dim=48,
+                     num_heads=4, norm_groups=8)
+    params = init_unet_params(jax.random.PRNGKey(0), cfg)
+    df = export_unet_to_diffusers(params, cfg)
+
+    # re-emit in LDM naming by walking the known mapping tables
+    from adaface_tpu.tools import convert_ldm_unet as m
+
+    ldm_sd = {}
+
+    def put(ldm_key, df_key):
+        for suf in (".weight", ".bias"):
+            if df_key + suf in df:
+                ldm_sd["model.diffusion_model." + ldm_key + suf] = df[df_key + suf]
+
+    put("time_embed.0", "time_embedding.linear_1")
+    put("time_embed.2", "time_embedding.linear_2")
+    put("input_blocks.0.0", "conv_in")
+    put("out.0", "conv_norm_out")
+    put("out.2", "conv_out")
+    idx = 1
+    for bi in range(4):
+        for li in range(cfg.layers_per_block):
+            for ls, ds in m.RESNET_MAP:
+                put(f"input_blocks.{idx}.0.{ls}",
+                    f"down_blocks.{bi}.resnets.{li}.{ds}")
+            if cfg.down_has_attn[bi]:
+                for ls, ds in m.ATTN_MAP:
+                    put(f"input_blocks.{idx}.1.{ls}",
+                        f"down_blocks.{bi}.attentions.{li}.{ds}")
+            idx += 1
+        if bi < 3:
+            put(f"input_blocks.{idx}.0.op",
+                f"down_blocks.{bi}.downsamplers.0.conv")
+            idx += 1
+    for ls, ds in m.RESNET_MAP:
+        put(f"middle_block.0.{ls}", "mid_block.resnets.0." + ds)
+        put(f"middle_block.2.{ls}", "mid_block.resnets.1." + ds)
+    for ls, ds in m.ATTN_MAP:
+        put(f"middle_block.1.{ls}", "mid_block.attentions.0." + ds)
+    idx = 0
+    for bi in range(4):
+        for li in range(cfg.layers_per_block + 1):
+            for ls, ds in m.RESNET_MAP:
+                put(f"output_blocks.{idx}.0.{ls}",
+                    f"up_blocks.{bi}.resnets.{li}.{ds}")
+            if cfg.up_has_attn[bi]:
+                for ls, ds in m.ATTN_MAP:
+                    put(f"output_blocks.{idx}.1.{ls}",
+                        f"up_blocks.{bi}.attentions.{li}.{ds}")
+            if li == cfg.layers_per_block and bi < 3:
+                sub = 2 if cfg.up_has_attn[bi] else 1
+                put(f"output_blocks.{idx}.{sub}.conv",
+                    f"up_blocks.{bi}.upsamplers.0.conv")
+            idx += 1
+
+    rec = convert_ldm_unet(ldm_sd, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 32, 32))
+    t = jnp.array([42])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 48))
+    e1, _ = unet_apply(params, x, t, ctx, cfg)
+    e2, _ = unet_apply(rec, x, t, ctx, cfg)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
