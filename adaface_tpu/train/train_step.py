@@ -197,13 +197,34 @@ def unet_distill_loss_fn(
     )
     ctx4 = _encode_prompts_with_ada(frozen, ada, batch, cfg)
     b = batch["x_start"].shape[0]
-    x_t = schedule.q_sample(batch["x_start"], batch["t"], batch["noise"])
-    eps_pred, _ = unet_apply(
-        frozen["unet"], x_t, batch["t"], ctx4[:b], cfg.unet,
-    )
-    diff = (eps_pred.astype(jnp.float32)
-            - batch["teacher_noise_pred"].astype(jnp.float32)) ** 2
-    loss_distill = diff.mean()
+
+    if "teacher_x_ts" in batch:
+        # multi-step distillation (`calc_unet_distill_loss:2984-3184`): the
+        # student denoises the teacher's own x_t chain (same timesteps)
+        # with ada prompts and matches each step's teacher prediction. The
+        # S steps fold into the batch axis — one UNet call.
+        x_ts = batch["teacher_x_ts"]  # [S, B, 4, h, w]
+        ts = batch["teacher_ts"]  # [S, B]
+        teacher_preds = batch["teacher_noise_preds"]  # [S, B, 4, h, w]
+        s = x_ts.shape[0]
+        x_flat = x_ts.reshape(s * b, *x_ts.shape[2:])
+        t_flat = ts.reshape(s * b)
+        ctx_rep = jnp.tile(ctx4[:b], (s, 1, 1))
+        eps_pred, _ = unet_apply(
+            frozen["unet"], x_flat, t_flat, ctx_rep, cfg.unet)
+        diff = (eps_pred.astype(jnp.float32)
+                - jax.lax.stop_gradient(
+                    teacher_preds.reshape(s * b, *x_ts.shape[2:])
+                ).astype(jnp.float32)) ** 2
+        loss_distill = diff.mean()
+    else:
+        x_t = schedule.q_sample(batch["x_start"], batch["t"], batch["noise"])
+        eps_pred, _ = unet_apply(
+            frozen["unet"], x_t, batch["t"], ctx4[:b], cfg.unet,
+        )
+        diff = (eps_pred.astype(jnp.float32)
+                - batch["teacher_noise_pred"].astype(jnp.float32)) ** 2
+        loss_distill = diff.mean()
     loss_delta = calc_prompt_emb_delta_loss(ctx4, batch.get("prompt_emb_mask"))
     loss = cfg.unet_distill_weight * loss_distill \
         + cfg.prompt_emb_delta_weight * loss_delta

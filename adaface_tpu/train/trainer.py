@@ -187,12 +187,17 @@ class Trainer:
         if flags.iter_type == "unet_distill" and self.teacher is not None:
             rs = np.random.RandomState(flags.seed)
             cfg_scale = self.teacher.sample_cfg_scale(rs)
-            preds, _, _, _ = self.teacher(
+            n_steps = flags.num_denoising_steps
+            preds, x_starts, noises, ts = self.teacher(
                 self.schedule, device_batch["x_start"], device_batch["noise"],
                 device_batch["t"], img_prompt_embs_to_context(img_prompt_embs),
-                num_denoising_steps=1, cfg_scale=cfg_scale,
+                num_denoising_steps=n_steps, cfg_scale=cfg_scale,
                 rng=jax.random.fold_in(rng, 5))
-            device_batch["teacher_noise_pred"] = preds[0]
+            # reconstruct the teacher's x_t chain for the student to denoise
+            x_ts = jax.vmap(self.schedule.q_sample)(x_starts[:-1], ts, noises)
+            device_batch["teacher_noise_preds"] = preds
+            device_batch["teacher_x_ts"] = x_ts
+            device_batch["teacher_ts"] = ts
         elif flags.iter_type == "unet_distill":
             device_batch["teacher_noise_pred"] = device_batch["noise"]
 

@@ -180,3 +180,24 @@ def test_warmup_cosine_shape():
     assert float(s(0)) == 0.0
     np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-5)
     assert float(s(99)) < 1e-4
+
+
+def test_unet_distill_multistep():
+    frozen, trainable, batch = _setup()
+    import jax
+
+    s, b = 3, 2
+    batch = dict(batch)
+    batch["teacher_x_ts"] = jax.random.normal(jax.random.PRNGKey(11),
+                                              (s, b, 4, HW, HW))
+    batch["teacher_ts"] = jnp.tile(jnp.array([[700], [400], [150]]), (1, b))
+    batch["teacher_noise_preds"] = jax.random.normal(jax.random.PRNGKey(12),
+                                                     (s, b, 4, HW, HW))
+    sched = DiffusionSchedule.create()
+    cfg = TrainConfig(unet=UNET_CFG, sbg=SBG_CFG, clip_text=CLIP_CFG)
+    (loss, metrics), grads = jax.value_and_grad(
+        unet_distill_loss_fn, has_aux=True)(
+        trainable, frozen, batch, sched, cfg, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    g = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads))
+    assert g > 0
