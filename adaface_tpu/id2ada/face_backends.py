@@ -107,6 +107,31 @@ class DeterministicBackend(FaceBackend):
         return emb / np.linalg.norm(emb)
 
 
+class RetinaFaceArcFaceBackend(FaceBackend):
+    """Our RetinaFace-JAX detector + ArcFace-JAX embedder — a fully
+    in-repo detection/embedding stack (weights load via
+    `models/retinaface.py` / `models/arcface.py` converters)."""
+
+    def __init__(self, retinaface_params=None, arcface_params=None):
+        import jax
+
+        from adaface_tpu.models.retinaface import RetinaFaceClient
+
+        self.client = RetinaFaceClient(retinaface_params)
+        self._arc = ArcFaceJAXBackend(arcface_params)
+
+    def detect_and_embed(self, image_np):
+        faces = self.client.detect_faces(image_np)
+        if not faces:
+            return None
+        x0, y0, x1, y1 = [int(v) for v in faces[0]["bbox"]]
+        crop = image_np[max(y0, 0):y1, max(x0, 0):x1]
+        if crop.size == 0:
+            return None
+        # embed the detected crop with the arcface embedder (center path)
+        return self._arc.detect_and_embed(crop)
+
+
 def default_backend(pack: str = "antelopev2") -> FaceBackend:
     try:
         return InsightFaceBackend(pack)

@@ -196,6 +196,7 @@ def detect_face_bboxes(
     images_np: np.ndarray,  # [B, 3, H, W] in [-1, 1] or [B, H, W, 3] uint8
     min_size: int = 20,
     heuristic_center: bool = False,
+    retinaface_client=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Host face detection → (bboxes [B,4], detected [B]).
 
@@ -214,6 +215,19 @@ def detect_face_bboxes(
         imgs = np.clip(imgs, 0, 255).astype(np.uint8)
     else:
         imgs = images_np.astype(np.uint8)
+
+    if retinaface_client is not None:
+        b, h, w = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+        bboxes = np.zeros((b, 4), np.float32)
+        detected = np.zeros((b,), np.float32)
+        for i in range(b):
+            faces = retinaface_client.detect_faces(imgs[i], T=min_size)
+            if faces:
+                bboxes[i] = faces[0]["bbox"]
+                detected[i] = 1.0
+            else:
+                bboxes[i] = (0, 0, w, h)
+        return bboxes, detected
 
     if _CASCADE is None:
         _CASCADE = _load_cascade() or "unavailable"

@@ -138,11 +138,21 @@ def recon_loss_fn(
     x_t = schedule.q_sample(batch["x_start"], batch["t"], batch["noise"])
     subj_mask = (batch["splice_map"][:b] >= 0).astype(jnp.float32)
 
+    # per-iter-type named adapters (`set_up_ffn_loras`/
+    # `set_lora_and_capture_flags`, `diffusers_attn_lora_capture.py:541-629`)
+    rt = AttnRuntime(
+        capture=True,
+        use_attn_lora="attn_lora" in trainable,
+        use_ffn_lora="ffn_lora" in trainable,
+        ffn_adapter="recon_loss",
+    )
     eps_pred, cap = unet_apply(
         frozen["unet"], x_t, batch["t"], ctx_subj, cfg.unet,
-        rt=AttnRuntime(capture=True),
+        rt=rt,
         img_mask=batch.get("img_mask"),
         subj_mask=subj_mask,
+        attn_lora=trainable.get("attn_lora"),
+        ffn_lora=trainable.get("ffn_lora"),
     )
     # class-conditioned prediction for background guidance (no grad)
     eps_cls, _ = unet_apply(
@@ -210,8 +220,13 @@ def unet_distill_loss_fn(
         x_flat = x_ts.reshape(s * b, *x_ts.shape[2:])
         t_flat = ts.reshape(s * b)
         ctx_rep = jnp.tile(ctx4[:b], (s, 1, 1))
+        rt = AttnRuntime(
+            use_ffn_lora="ffn_lora" in trainable,
+            ffn_adapter="unet_distill",
+        )
         eps_pred, _ = unet_apply(
-            frozen["unet"], x_flat, t_flat, ctx_rep, cfg.unet)
+            frozen["unet"], x_flat, t_flat, ctx_rep, cfg.unet, rt=rt,
+            ffn_lora=trainable.get("ffn_lora"))
         diff = (eps_pred.astype(jnp.float32)
                 - jax.lax.stop_gradient(
                     teacher_preds.reshape(s * b, *x_ts.shape[2:])
@@ -219,9 +234,13 @@ def unet_distill_loss_fn(
         loss_distill = diff.mean()
     else:
         x_t = schedule.q_sample(batch["x_start"], batch["t"], batch["noise"])
-        eps_pred, _ = unet_apply(
-            frozen["unet"], x_t, batch["t"], ctx4[:b], cfg.unet,
+        rt = AttnRuntime(
+            use_ffn_lora="ffn_lora" in trainable,
+            ffn_adapter="unet_distill",
         )
+        eps_pred, _ = unet_apply(
+            frozen["unet"], x_t, batch["t"], ctx4[:b], cfg.unet, rt=rt,
+            ffn_lora=trainable.get("ffn_lora"))
         diff = (eps_pred.astype(jnp.float32)
                 - batch["teacher_noise_pred"].astype(jnp.float32)) ** 2
         loss_distill = diff.mean()

@@ -201,3 +201,27 @@ def test_unet_distill_multistep():
     assert np.isfinite(float(loss))
     g = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads))
     assert g > 0
+
+
+def test_recon_with_lora_adapters():
+    from adaface_tpu.models.unet import init_attn_lora_params, init_ffn_lora_params
+
+    frozen, trainable, batch = _setup()
+    trainable = dict(trainable)
+    trainable["attn_lora"] = init_attn_lora_params(jax.random.PRNGKey(5),
+                                                   UNET_CFG)
+    trainable["ffn_lora"] = init_ffn_lora_params(jax.random.PRNGKey(6),
+                                                 UNET_CFG, lora_rank=4)
+    sched = DiffusionSchedule.create()
+    cfg = TrainConfig(unet=UNET_CFG, sbg=SBG_CFG, clip_text=CLIP_CFG)
+    (loss, _), grads = jax.value_and_grad(recon_loss_fn, has_aux=True)(
+        trainable, frozen, batch, sched, cfg, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # adapter params receive gradients
+    g_lora = sum(float(jnp.abs(x).sum()) for x in
+                 jax.tree_util.tree_leaves(grads["ffn_lora"]["recon_loss"]))
+    assert g_lora > 0
+    # the unused adapters get zero grads
+    g_other = sum(float(jnp.abs(x).sum()) for x in
+                  jax.tree_util.tree_leaves(grads["ffn_lora"]["unet_distill"]))
+    assert g_other == 0
