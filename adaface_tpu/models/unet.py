@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from adaface_tpu.ops.attention import multi_head_attention
+from adaface_tpu.ops.fused_gn import fused_group_norm_silu
 from adaface_tpu.ops.resize import resize_nearest, upsample2x_nearest
 from adaface_tpu.utils.tensor import gen_gradient_scaler, gradient_scale
 
@@ -108,14 +109,16 @@ def dense(p: Params, x: jax.Array) -> jax.Array:
     return (y + p["b"]).astype(x.dtype)
 
 
-def group_norm(p: Params, x: jax.Array, groups: int, eps: float) -> jax.Array:
-    b, h, w, c = x.shape
-    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
-    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
-    var = xf.var(axis=(1, 2, 4), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(b, h, w, c)
-    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+def group_norm(p: Params, x: jax.Array, groups: int, eps: float,
+               apply_silu: bool = False) -> jax.Array:
+    """GroupNorm (optionally fused with SiLU) — single-pass Pallas kernel
+    on TPU (ops/fused_gn), XLA elsewhere."""
+    return fused_group_norm_silu(x, p["scale"], p["bias"], groups, eps,
+                                 apply_silu=apply_silu)
+
+
+def gn_silu(p: Params, x: jax.Array, groups: int, eps: float) -> jax.Array:
+    return group_norm(p, x, groups, eps, apply_silu=True)
 
 
 def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -376,11 +379,11 @@ def init_ffn_lora_params(
 
 
 def _resnet(p, x, temb, cfg: UNetConfig, ffn_lora=None, lora_scale=0.125):
-    h = jax.nn.silu(group_norm(p["norm1"], x, cfg.norm_groups, cfg.norm_eps))
+    h = gn_silu(p["norm1"], x, cfg.norm_groups, cfg.norm_eps)
     h = dora_conv(p["conv1"], None if ffn_lora is None else ffn_lora.get("conv1"),
                   h, lora_scale)
     h = h + dense(p["time_emb_proj"], jax.nn.silu(temb))[:, None, None, :]
-    h = jax.nn.silu(group_norm(p["norm2"], h, cfg.norm_groups, cfg.norm_eps))
+    h = gn_silu(p["norm2"], h, cfg.norm_groups, cfg.norm_eps)
     h = dora_conv(p["conv2"], None if ffn_lora is None else ffn_lora.get("conv2"),
                   h, lora_scale)
     if "conv_shortcut" in p:
@@ -607,7 +610,6 @@ def unet_apply(
         if "upsample" in blk:
             h = conv2d(blk["upsample"], upsample2x_nearest(h))
 
-    h = jax.nn.silu(group_norm(params["conv_norm_out"], h, cfg.norm_groups,
-                               cfg.norm_eps))
+    h = gn_silu(params["conv_norm_out"], h, cfg.norm_groups, cfg.norm_eps)
     h = conv2d(params["conv_out"], h)
     return h.transpose(0, 3, 1, 2), captured

@@ -22,6 +22,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from adaface_tpu.ops.fused_gn import fused_group_norm_silu
 from adaface_tpu.ops.resize import resize_nearest, upsample2x_nearest
 
 Params = dict[str, Any]
@@ -59,13 +60,13 @@ def _conv(p, x, stride=1, padding=1):
     return (y + p["b"]).astype(x.dtype)
 
 
-def _gn(p, x, groups, eps):
-    b, h, w, c = x.shape
-    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
-    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
-    var = xf.var(axis=(1, 2, 4), keepdims=True)
-    xf = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
-    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+def _gn(p, x, groups, eps, silu=False):
+    return fused_group_norm_silu(x, p["scale"], p["bias"], groups, eps,
+                                 apply_silu=silu)
+
+
+def _gn_swish(p, x, groups, eps):
+    return _gn(p, x, groups, eps, silu=True)
 
 
 def _swish(x):
@@ -109,8 +110,8 @@ def _init_attn(rng, c):
 
 
 def _resblock(p, x, cfg):
-    h = _conv(p["conv1"], _swish(_gn(p["norm1"], x, cfg.norm_groups, cfg.norm_eps)))
-    h = _conv(p["conv2"], _swish(_gn(p["norm2"], h, cfg.norm_groups, cfg.norm_eps)))
+    h = _conv(p["conv1"], _gn_swish(p["norm1"], x, cfg.norm_groups, cfg.norm_eps))
+    h = _conv(p["conv2"], _gn_swish(p["norm2"], h, cfg.norm_groups, cfg.norm_eps))
     if "nin_shortcut" in p:
         x = _conv(p["nin_shortcut"], x, padding=0)
     return x + h
@@ -228,7 +229,7 @@ def vae_encode_moments(
     h = _resblock(p["mid"]["block_1"], h, cfg)
     h = _attnblock(p["mid"]["attn_1"], h, cfg, mask=mask)
     h = _resblock(p["mid"]["block_2"], h, cfg)
-    h = _conv(p["conv_out"], _swish(_gn(p["norm_out"], h, cfg.norm_groups, cfg.norm_eps)))
+    h = _conv(p["conv_out"], _gn_swish(p["norm_out"], h, cfg.norm_groups, cfg.norm_eps))
     h = _conv(params["quant_conv"], h, padding=0)
     return h.transpose(0, 3, 1, 2)
 
@@ -278,5 +279,5 @@ def vae_decode(
             h = _resblock(blk, h, cfg)
         if "upsample" in level:
             h = _conv(level["upsample"], upsample2x_nearest(h))
-    h = _conv(p["conv_out"], _swish(_gn(p["norm_out"], h, cfg.norm_groups, cfg.norm_eps)))
+    h = _conv(p["conv_out"], _gn_swish(p["norm_out"], h, cfg.norm_groups, cfg.norm_eps))
     return h.transpose(0, 3, 1, 2)

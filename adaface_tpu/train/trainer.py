@@ -64,6 +64,7 @@ class TrainerConfig:
     seed: int = 0
     dp: int | None = None
     profile: bool = False
+    sample_every: int = 0  # decode + log recon previews every N steps
 
 
 class Trainer:
@@ -105,6 +106,11 @@ class Trainer:
         self.logger = MetricsLogger(cfg.log_dir)
         self.face_stats = RollingStats(("face_detected",))
         self.profiler = (ProfilerHook(cfg.log_dir) if cfg.profile else None)
+        self.sample_logger = None
+        if cfg.sample_every:
+            from adaface_tpu.utils.sample_logger import SampleLogger
+
+            self.sample_logger = SampleLogger(cfg.log_dir)
 
         self._steps = {}
         self._vae_encode = jax.jit(
@@ -243,6 +249,13 @@ class Trainer:
                                             flags.iter_type]})
             if self.profiler:
                 self.profiler.maybe_start_stop(step)
+            if (self.sample_logger is not None and self.vae_params is not None
+                    and (step + 1) % self.cfg.sample_every == 0):
+                from adaface_tpu.models.vae import vae_decode
+
+                imgs = vae_decode(self.vae_params, batch["x_start"])
+                imgs = (np.asarray(imgs, np.float32) + 1) / 2
+                self.sample_logger.log(step, flags.iter_type, imgs)
             if self.cfg.ckpt_every and (step + 1) % self.cfg.ckpt_every == 0:
                 self.save(step + 1)
         return metrics

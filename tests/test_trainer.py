@@ -103,3 +103,25 @@ def test_trainer_runs_all_iteration_types(toy_dataset, tmp_path):
     assert os.path.exists(os.path.join(cfg.log_dir, "metrics.csv"))
     ckpts = os.listdir(os.path.join(cfg.log_dir, "checkpoints"))
     assert any(c.startswith("embeddings_gs-") for c in ckpts)
+
+
+def test_sample_logger(tmp_path):
+    import os
+    import time
+
+    import numpy as np
+
+    from adaface_tpu.utils.sample_logger import SampleLogger, _to_grid
+
+    grid = _to_grid(np.random.rand(5, 3, 16, 16), cols=3,
+                    color=(200, 64, 64))
+    assert grid.shape == (2 * 24, 3 * 24, 3)
+    # border pixels carry the iteration-type color
+    assert tuple(grid[0, 0]) == (200, 64, 64)
+
+    sl = SampleLogger(str(tmp_path))
+    ok = sl.log(7, "recon", np.random.rand(2, 3, 8, 8))
+    assert ok
+    sl.close()
+    files = os.listdir(os.path.join(str(tmp_path), "samples"))
+    assert files == ["0000007_recon.png"]
