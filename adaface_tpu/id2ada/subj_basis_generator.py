@@ -176,7 +176,9 @@ def inverse_img_prompt_embs(
     b = face_prompt_embs.shape[0]
     n_id = cfg.num_id_vecs
     n_sfx = cfg.num_static_img_suffix_embs
-    id_start = buffers["id_start"]
+    # id_start is a static slice position; device_put may have converted it
+    # to a (concrete) array — coerce back to a python int
+    id_start = int(buffers["id_start"])
     id_end = id_start + n_id
     pad_begin = id_end + n_sfx + 2
 
@@ -275,7 +277,7 @@ def subj_basis_forward(
     if out_id_embs_cfg_scale != 1.0:
         # CFG mix toward pad embeddings; never on the static suffix embs
         n_id = cfg.num_id_vecs
-        id_start = buffers["id_start"]
+        id_start = int(buffers["id_start"])
         pad = buffers["pad_embeddings"][id_start:id_start + n_id]
         mixed = (
             ada_id_embs[:, :n_id] * out_id_embs_cfg_scale

@@ -39,6 +39,11 @@ class PipelineModules:
     # weighted UNet ensemble (`adaface/util.py:174-247` UNetEnsemble,
     # installed by AdaFaceWrapper when multiple unet paths are given)
     unet_weights: tuple | None = None
+    # trained attn/FFN DoRA LoRAs for inference
+    # (`load_unet_lora_weights`, `adaface_wrapper.py:374-413`)
+    attn_lora: Params | None = None
+    ffn_lora: Params | None = None
+    ffn_adapter: str = "comp_distill"
 
     def __post_init__(self):
         if self.schedule is None:
@@ -94,28 +99,37 @@ class DiffusionPipeline:
         return cond, uncond
 
     # ------------------------------------------------------------ sampling
-    def _unet_eps(self, unet_params, x, t, ctx):
+    def _unet_eps(self, unet_params, x, t, ctx, attn_lora=None, ffn_lora=None):
         cfg = self.m.unet_cfg
+        from adaface_tpu.models.unet import AttnRuntime
+
+        rt = AttnRuntime(
+            use_attn_lora=attn_lora is not None,
+            use_ffn_lora=ffn_lora is not None,
+            ffn_adapter=self.m.ffn_adapter if ffn_lora is not None else None,
+        )
+        kw = dict(rt=rt, attn_lora=attn_lora, ffn_lora=ffn_lora)
         if isinstance(unet_params, (list, tuple)):
             w = self.m.unet_weights or [1.0 / len(unet_params)] * len(unet_params)
             w = jnp.asarray(w) / jnp.asarray(w).sum()
-            preds = [unet_apply(p, x, t, ctx, cfg)[0] for p in unet_params]
+            preds = [unet_apply(p, x, t, ctx, cfg, **kw)[0]
+                     for p in unet_params]
             return sum(wi * p for wi, p in zip(w, preds))
-        eps, _ = unet_apply(unet_params, x, t, ctx, cfg)
+        eps, _ = unet_apply(unet_params, x, t, ctx, cfg, **kw)
         return eps
 
     def _build_generate(self, ddim_cfg: DDIMConfig):
         schedule = self.m.schedule
 
-        def model_fn_factory(unet_params):
+        @jax.jit
+        def generate(unet_params, loras, cond, uncond, x_T, rng):
             def model_fn(x, t, ctx):
-                return self._unet_eps(unet_params, x, t, ctx)
-            return model_fn
+                return self._unet_eps(unet_params, x, t, ctx,
+                                      attn_lora=loras.get("attn"),
+                                      ffn_lora=loras.get("ffn"))
 
-        @functools.partial(jax.jit, static_argnames=())
-        def generate(unet_params, cond, uncond, x_T, rng):
             return ddim_sample(
-                model_fn_factory(unet_params), schedule, x_T,
+                model_fn, schedule, x_T,
                 cond_ctx=cond, uncond_ctx=uncond, cfg=ddim_cfg, rng=rng,
             )
 
@@ -150,6 +164,12 @@ class DiffusionPipeline:
             prompts, [negative_prompt] * b if guidance_scale > 1 else None,
             max_length=max_len)
 
+        loras = {}
+        if self.m.attn_lora is not None:
+            loras["attn"] = self.m.attn_lora
+        if self.m.ffn_lora is not None:
+            loras["ffn"] = self.m.ffn_lora
+
         if scheduler == "ddim":
             ddim_cfg = DDIMConfig(
                 num_inference_steps=num_inference_steps,
@@ -160,13 +180,16 @@ class DiffusionPipeline:
             if self._generate is None or self._gen_key != key:
                 self._generate = self._build_generate(ddim_cfg)
                 self._gen_key = key
-            z0 = self._generate(self.m.unet, cond, uncond, latents, k_samp)
+            z0 = self._generate(self.m.unet, loras, cond, uncond, latents,
+                                k_samp)
         else:
             from adaface_tpu.ops.samplers import (
                 dpm_solver_pp_sample, lcm_sample, pndm_sample)
 
             def model_fn(x, t, ctx):
-                return self._unet_eps(self.m.unet, x, t, ctx)
+                return self._unet_eps(self.m.unet, x, t, ctx,
+                                      attn_lora=loras.get("attn"),
+                                      ffn_lora=loras.get("ffn"))
 
             if scheduler == "dpm++":
                 z0 = dpm_solver_pp_sample(

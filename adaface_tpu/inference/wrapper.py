@@ -135,6 +135,26 @@ class AdaFaceWrapper:
             self.update_text_encoder_subj_embeddings(ada)
         return ada
 
+    def load_unet_lora_weights(self, ckpt_dir: str,
+                               ffn_adapter: str = "comp_distill"):
+        """Load trained UNet attn/FFN DoRA LoRAs from an adaface checkpoint
+        into the pipeline (`load_unet_lora_weights`,
+        `adaface_wrapper.py:374-413`). The FFN LoRA uses the named adapter
+        trained for comp distillation by default."""
+        from adaface_tpu.train.checkpoint import load_checkpoint
+
+        state, _ = load_checkpoint(ckpt_dir)
+        lora = state.get("unet_lora_modules")
+        if lora is None:
+            raise ValueError(f"no unet_lora_modules in {ckpt_dir}")
+        self.pipeline.m.attn_lora = lora.get("attn_lora")
+        ffn = lora.get("ffn_lora")
+        if ffn is not None and ffn_adapter in ffn:
+            self.pipeline.m.ffn_lora = ffn
+            self.pipeline.m.ffn_adapter = ffn_adapter
+        n = len(jax.tree_util.tree_leaves(lora))
+        print(f"loaded {n} UNet LoRA tensors from {ckpt_dir}")
+
     def mix_ada_embs_with_other_embs(
         self, ada_embs: jax.Array, other_embs: jax.Array, mix_scale: float
     ) -> jax.Array:
@@ -159,6 +179,7 @@ class AdaFaceWrapper:
         update_prompt: bool = True,
         height: int = 512,
         width: int = 512,
+        scheduler: str = "ddim",  # ddim | dpm++ | pndm | lcm
     ):
         """→ images [N, 3, H, W] in [0, 1]."""
         if update_prompt:
@@ -183,6 +204,7 @@ class AdaFaceWrapper:
             latents=latents,
             height=height,
             width=width,
+            scheduler=scheduler,
         )
 
     def _img2img_latents(self, init_image, strength, steps, rng, num_images):

@@ -92,15 +92,17 @@ class AttnRuntime:
 def conv2d(p: Params, x: jax.Array, stride: int = 1, padding=1) -> jax.Array:
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    # NOTE: no preferred_element_type here — lax.conv's transpose rule can't
+    # mix an f32 cotangent with bf16 operands (breaks jax.grad through a
+    # bf16 UNet); the MXU still accumulates bf16 convs in f32 internally.
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return (y + p["b"]).astype(x.dtype)
+    return (y + p["b"].astype(x.dtype))
 
 
 def dense(p: Params, x: jax.Array) -> jax.Array:
@@ -180,9 +182,8 @@ def dora_conv(base: Params, lp: Params | None, x: jax.Array, scale: float,
         x, w.astype(x.dtype), (stride, stride),
         [(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return (y + base["b"]).astype(x.dtype)
+    return (y + base["b"].astype(x.dtype))
 
 
 # ---------------------------------------------------------------------------

@@ -60,7 +60,15 @@ def load_checkpoint(ckpt_dir: str, target: Any | None = None):
     if target is not None:
         state = ckptr.restore(path, target)
     else:
-        state = ckptr.restore(path)
+        # No target: restore to host numpy instead of the shardings recorded
+        # at save time — those reference devices (e.g. TFRT_CPU_0) that may
+        # not exist on the loading platform (e.g. a TPU process).
+        meta = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        with ocp.PyTreeCheckpointer() as ptc:
+            state = ptc.restore(
+                path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
     return state, manifest
 
 

@@ -60,6 +60,11 @@ class CompDistillConfig:
     cross_t_diff_weight: float = 0.05
     mb_suppress_weight: float = 0.1
     prompt_emb_delta_weight: float = 1e-4
+    # Probability of seeding the comp x_start from the training image's
+    # fg region (`ldm/util.py:1599-1677`; the reference keeps the helper
+    # but leaves it uncalled at this snapshot, so we default to 0.0 for
+    # behavioral parity — set >0 in YAML to enable).
+    p_init_fg_from_training_image: float = 0.0
 
 
 def prime_comp_x_start(
@@ -193,8 +198,13 @@ def comp_distill_loss_fn(
     cc_mix_ctx = sc_ctx * mix + cc_ctx * (1 - mix)
     ctx4_run = jnp.concatenate([ss_ctx, sc_ctx, sr_ctx, cc_mix_ctx], axis=0)
 
+    # optional fg-seeded start: the trainer puts a latent whose fg region
+    # comes from the training image into `comp_x_base` (see
+    # `Trainer._prepare_batch`); priming's first q_sample at t0∈[0.7,0.9]·T
+    # renoises it while preserving the subject layout.
+    x_base = batch.get("comp_x_base", batch["noise"])
     x_prime = prime_comp_x_start(
-        frozen["unet"], cfg.unet, schedule, batch["noise"], ss_ctx,
+        frozen["unet"], cfg.unet, schedule, x_base, ss_ctx,
         cc_mix_ctx, k_prime, comp_cfg)
 
     subj_mask4 = (batch["splice_map"] >= 0).astype(jnp.float32)

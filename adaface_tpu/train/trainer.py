@@ -216,8 +216,25 @@ class Trainer:
                 images.transpose(0, 3, 1, 2), heuristic_center=True)
             device_batch["ss_face_bboxes"] = jnp.asarray(bboxes * scale)
             device_batch["sc_face_bboxes"] = jnp.asarray(bboxes * scale)
-            device_batch["sc_fg_mask_percent"] = jnp.float32(
-                float(np.mean(batch["fg_mask"])))
+            fg_percent = float(np.mean(batch["fg_mask"]))
+            device_batch["sc_fg_mask_percent"] = jnp.float32(fg_percent)
+            # fg-seeded comp start (`ldm/util.py:1599-1677`): keep the
+            # training image's fg in the latent, noise the bg, shrink +
+            # offset, then let priming renoise it at high t.
+            rs = np.random.RandomState(flags.seed)
+            if (rs.rand() < self.comp_cfg.p_init_fg_from_training_image
+                    and float(np.sum(batch["fg_mask"])) > 0):
+                from adaface_tpu.train.init_x import (
+                    init_x_with_fg_from_training_image, plan_fg_init)
+
+                fg_scale, dh, dw = plan_fg_init(fg_percent, rs)
+                x_base, fg_lat = init_x_with_fg_from_training_image(
+                    device_batch["x_start"], device_batch["fg_mask"],
+                    jax.random.fold_in(rng, 6), scale=fg_scale, dh=dh, dw=dw)
+                device_batch["comp_x_base"] = x_base
+                device_batch["fg_mask"] = fg_lat
+                device_batch["sc_fg_mask_percent"] = jnp.float32(
+                    fg_percent * fg_scale * fg_scale)
 
         if self.mesh is not None:
             device_batch = shard_batch(device_batch, self.mesh)
@@ -262,9 +279,12 @@ class Trainer:
 
     def save(self, step: int):
         out = os.path.join(self.cfg.log_dir, f"checkpoints/embeddings_gs-{step}")
+        # structured like AdaFaceWrapper.load_unet_lora_weights expects
+        lora = {k: self.state.params[k]
+                for k in ("attn_lora", "ffn_lora") if k in self.state.params}
         save_adaface_ckpt(
             out, step, {"joint": self.state.params.get("sbg", {})},
-            unet_lora_params=self.state.params.get("attn_lora"))
+            unet_lora_params=lora or None)
         return out
 
 

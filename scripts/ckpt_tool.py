@@ -8,9 +8,13 @@
     python scripts/ckpt_tool.py diff      a.safetensors b.safetensors
     python scripts/ckpt_tool.py check     in.safetensors
     python scripts/ckpt_tool.py repl_pat  base donor out -p 'unet.*attn*'
+    python scripts/ckpt_tool.py extract_sbg  <adaface_ckpt_dir> out_dir
+    python scripts/ckpt_tool.py squeeze_mkv  <adaface_ckpt_dir> out_dir -d 2 2 ...
 
 Replaces: scripts/{repl_vae,repl_textencoder,avg_models,extract_unet,
-ckpt_fp32to16,modeldiff,chk_ckpt_weights,repl_by_pat}.py in the reference.
+ckpt_fp32to16,modeldiff,chk_ckpt_weights,repl_by_pat}.py plus
+scripts-private/{extract_subj_basis_generator,squeeze-extended-clip,
+dedup-extended-clip}.py in the reference.
 """
 
 from __future__ import annotations
@@ -35,6 +39,21 @@ from adaface_tpu.tools.ckpt_lib import (  # noqa: E402
 VAE_PREFIX = "first_stage_model."
 TEXT_PREFIX = "cond_stage_model."
 UNET_PREFIX = "model.diffusion_model."
+
+
+def _flatten(tree, prefix=""):
+    import numpy as np
+
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(_flatten(v, f"{prefix}{i}."))
+    else:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
 
 
 def main():
@@ -69,6 +88,17 @@ def main():
     p.add_argument("base"), p.add_argument("donor"), p.add_argument("out")
     p.add_argument("-p", "--patterns", nargs="+", required=True)
     p.add_argument("--regex", action="store_true")
+
+    p = sub.add_parser("extract_sbg")
+    p.add_argument("ckpt_dir"), p.add_argument("out")
+    p.add_argument("--encoder", default=None,
+                   help="only this encoder (default: all)")
+
+    p = sub.add_parser("squeeze_mkv")
+    p.add_argument("ckpt_dir"), p.add_argument("out")
+    p.add_argument("-d", "--divisors", nargs="+", type=int, required=True,
+                   help="per-layer MKV divisors (single value broadcasts)")
+    p.add_argument("--encoder", default=None)
 
     args = ap.parse_args()
 
@@ -109,6 +139,46 @@ def main():
             args.patterns, use_regex=args.regex)
         save_state_dict(out, args.out)
         print(f"wrote {args.out}")
+    elif args.cmd == "extract_sbg":
+        # scripts-private/extract_subj_basis_generator.py equivalent
+        from adaface_tpu.train.checkpoint import load_checkpoint
+
+        state, manifest = load_checkpoint(args.ckpt_dir)
+        sbgs = state["subj_basis_generators"]
+        names = [args.encoder] if args.encoder else list(sbgs)
+        flat = {}
+        for name in names:
+            for k, v in _flatten(sbgs[name]).items():
+                flat[f"{name}.{k}"] = v
+        save_state_dict(flat, args.out)
+        print(f"extracted SBG {names} ({len(flat)} tensors) → {args.out}")
+    elif args.cmd == "squeeze_mkv":
+        # scripts-private/{squeeze,dedup}-extended-clip.py equivalent:
+        # average MKV-replicated K/V projections back down by `divisors`
+        from adaface_tpu.models.clip import squeeze_mkv
+        from adaface_tpu.train.checkpoint import (
+            load_checkpoint, save_adaface_ckpt)
+
+        state, manifest = load_checkpoint(args.ckpt_dir)
+        saved_mults = dict(manifest.get("mkv_multipliers", {}))
+        sbgs = state["subj_basis_generators"]
+        names = [args.encoder] if args.encoder else list(sbgs)
+        for name in names:
+            proj = sbgs[name].get("prompt2token_proj")
+            if proj is None:
+                continue
+            n_layers = len(proj["layers"])
+            div = (args.divisors * n_layers if len(args.divisors) == 1
+                   else args.divisors)
+            fake = {"layers": proj["layers"]}
+            proj["layers"] = squeeze_mkv(fake, div)["layers"]
+            if name in saved_mults:
+                saved_mults[name] = [m // d for m, d in
+                                     zip(saved_mults[name], div)]
+        save_adaface_ckpt(args.out, int(manifest.get("step", 0)), sbgs,
+                          unet_lora_params=state.get("unet_lora_modules"),
+                          mkv_multipliers=saved_mults)
+        print(f"squeezed MKV {names} by {args.divisors} → {args.out}")
 
 
 if __name__ == "__main__":

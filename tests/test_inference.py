@@ -152,3 +152,39 @@ def test_wrapper_long_prompts(modules):
                     height=128, width=128)
     assert out.shape == (1, 3, 128, 128)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_attn_lora_changes_output(modules, tmp_path):
+    """Loaded UNet LoRAs must flow into generation
+    (`load_unet_lora_weights`, `adaface_wrapper.py:374-413`)."""
+    from adaface_tpu.models.unet import init_attn_lora_params
+
+    pipe = DiffusionPipeline(modules, dtype=jnp.float32)
+    kw = dict(num_inference_steps=2, guidance_scale=1.0,
+              height=64, width=64, return_latents=True)
+    base = pipe("a cat", **kw)
+
+    lora = init_attn_lora_params(jax.random.PRNGKey(3), TINY_UNET)
+    # B starts at 0 → identical output until we give B weight
+    lora = jax.tree_util.tree_map(
+        lambda x: x if x.ndim != 2 else x + 0.3, lora)
+    modules.attn_lora = lora
+    try:
+        with_lora = pipe("a cat", **kw)
+    finally:
+        modules.attn_lora = None
+    assert not np.allclose(np.asarray(base), np.asarray(with_lora), atol=1e-5)
+
+    # wrapper loads LoRA from an adaface ckpt directory
+    from adaface_tpu.train.checkpoint import save_adaface_ckpt
+
+    save_adaface_ckpt(str(tmp_path / "ck"), 1, {"joint": {}},
+                      unet_lora_params={"attn_lora": lora})
+    enc = Arc2FaceID2AdaPrompt(
+        jax.random.PRNGKey(1), face_backend=DeterministicBackend(),
+        clip_vision_cfg=TINY_VISION, sbg_clip_cfg=TINY_TEXT,
+        text_cfg=TINY_TEXT, output_dim=D)
+    w = AdaFaceWrapper("text2img", modules, enc, dtype=jnp.float32)
+    w.load_unet_lora_weights(str(tmp_path / "ck"))
+    assert w.pipeline.m.attn_lora is not None
+    modules.attn_lora = None  # leave the shared fixture clean

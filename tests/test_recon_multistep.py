@@ -125,3 +125,28 @@ def test_anneal_utils():
     same = anneal_perturb_embedding(
         jax.random.PRNGKey(0), emb, 0.5, (0.05, 0.1), None, perturb_prob=0.0)
     np.testing.assert_allclose(np.asarray(same), np.asarray(emb))
+
+
+def test_init_x_with_fg():
+    import numpy as np
+
+    from adaface_tpu.train.init_x import (
+        init_x_with_fg_from_training_image, plan_fg_init)
+
+    rs = np.random.RandomState(0)
+    scale, dh, dw = plan_fg_init(0.4, rs)
+    assert 0.3 < scale <= 1.0  # large faces shrink more
+    scale_small, _, _ = plan_fg_init(0.1, rs)
+    assert scale_small >= 0.5
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+    fg = jnp.zeros((2, 1, 16, 16)).at[:, :, 4:12, 4:12].set(1.0)
+    x_init, fg_scaled = init_x_with_fg_from_training_image(
+        x, fg, jax.random.PRNGKey(1), scale=0.75, dh=1, dw=-1)
+    assert x_init.shape == x.shape
+    assert fg_scaled.shape == fg.shape
+    # some fg survives and some bg is pure noise (different from x)
+    assert float(fg_scaled.sum()) > 0
+    bg = np.asarray(fg_scaled[0, 0]) == 0
+    diff_bg = np.abs(np.asarray(x_init[0, 0])[bg] - np.asarray(x[0, 0])[bg])
+    assert diff_bg.mean() > 0.1

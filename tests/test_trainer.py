@@ -85,7 +85,9 @@ def test_trainer_runs_all_iteration_types(toy_dataset, tmp_path):
     train_cfg = TrainConfig(unet=UNET_CFG, sbg=encoder.sbg_cfg,
                             clip_text=SMALL_CLIP)
     teacher = UNetTeacher(unet_params=unet, unet_cfg=UNET_CFG)
-    comp_cfg = CompDistillConfig(num_priming_steps=1, num_denoising_steps=2)
+    # p_init_fg=1.0 forces the fg-seeded comp x_start path (init_x.py)
+    comp_cfg = CompDistillConfig(num_priming_steps=1, num_denoising_steps=2,
+                                 p_init_fg_from_training_image=1.0)
 
     trainer = Trainer(cfg, train_cfg, frozen, trainable, encoder, em,
                       vae_params=None, teacher=teacher, comp_cfg=comp_cfg)

@@ -46,6 +46,12 @@ def build_and_train(cfg: dict, args):
     trainer_cfg = TrainerConfig(
         data_roots=args.data_roots, log_dir=args.log_dir,
         **{k: v for k, v in tcfg_dict.items() if k in tc_fields})
+    if args.scale_lr:
+        # lr = accum x n_devices x batch x base_lr (`main.py:911-915`)
+        n_dev = trainer_cfg.dp or 1
+        trainer_cfg.lr = (trainer_cfg.accum_steps * n_dev
+                          * trainer_cfg.batch_size * trainer_cfg.lr)
+        print(f"scaled lr: {trainer_cfg.lr}")
 
     rng = jax.random.PRNGKey(trainer_cfg.seed)
     print("Initializing model stack (host)...", flush=True)
@@ -100,6 +106,8 @@ def main():
     ap.add_argument("--data_roots", nargs="+", required=True)
     ap.add_argument("--log_dir", default="logs/run")
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--scale_lr", action="store_true",
+                    help="lr = accum * n_devices * batch * base_lr")
     ap.add_argument("overrides", nargs="*", help="dot.key=value overrides")
     args = ap.parse_args()
 
