@@ -20,6 +20,20 @@ import numpy as np
 StateDict = dict[str, np.ndarray]
 
 
+def flatten_tree(tree, prefix: str = "") -> StateDict:
+    """Nested params pytree → flat dot-keyed state dict (numpy)."""
+    flat: StateDict = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            flat.update(flatten_tree(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            flat.update(flatten_tree(v, f"{prefix}{i}."))
+    elif tree is not None:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
 # ---------------------------------------------------------------------------
 # io
 # ---------------------------------------------------------------------------

@@ -146,8 +146,11 @@ def recon_loss_fn(
         use_ffn_lora="ffn_lora" in trainable,
         ffn_adapter="recon_loss",
     )
+    # unfreeze_unet path (`v1-finetune-unet.yaml`): the UNet lives in
+    # `trainable` and receives gradients directly
+    unet_params = trainable.get("unet", frozen["unet"])
     eps_pred, cap = unet_apply(
-        frozen["unet"], x_t, batch["t"], ctx_subj, cfg.unet,
+        unet_params, x_t, batch["t"], ctx_subj, cfg.unet,
         rt=rt,
         img_mask=batch.get("img_mask"),
         subj_mask=subj_mask,
@@ -156,7 +159,7 @@ def recon_loss_fn(
     )
     # class-conditioned prediction for background guidance (no grad)
     eps_cls, _ = unet_apply(
-        jax.lax.stop_gradient(frozen["unet"]), x_t, batch["t"],
+        jax.lax.stop_gradient(unet_params), x_t, batch["t"],
         jax.lax.stop_gradient(ctx_cls), cfg.unet,
     )
 
@@ -225,8 +228,8 @@ def unet_distill_loss_fn(
             ffn_adapter="unet_distill",
         )
         eps_pred, _ = unet_apply(
-            frozen["unet"], x_flat, t_flat, ctx_rep, cfg.unet, rt=rt,
-            ffn_lora=trainable.get("ffn_lora"))
+            trainable.get("unet", frozen["unet"]), x_flat, t_flat, ctx_rep,
+            cfg.unet, rt=rt, ffn_lora=trainable.get("ffn_lora"))
         diff = (eps_pred.astype(jnp.float32)
                 - jax.lax.stop_gradient(
                     teacher_preds.reshape(s * b, *x_ts.shape[2:])
@@ -239,8 +242,8 @@ def unet_distill_loss_fn(
             ffn_adapter="unet_distill",
         )
         eps_pred, _ = unet_apply(
-            frozen["unet"], x_t, batch["t"], ctx4[:b], cfg.unet, rt=rt,
-            ffn_lora=trainable.get("ffn_lora"))
+            trainable.get("unet", frozen["unet"]), x_t, batch["t"], ctx4[:b],
+            cfg.unet, rt=rt, ffn_lora=trainable.get("ffn_lora"))
         diff = (eps_pred.astype(jnp.float32)
                 - batch["teacher_noise_pred"].astype(jnp.float32)) ** 2
         loss_distill = diff.mean()
@@ -263,19 +266,46 @@ def make_train_step(
 
     With batch sharded over 'dp' and params replicated, XLA emits the
     gradient all-reduce over ICI automatically.
-    """
 
-    def step(state: State, batch: Params, rng: jax.Array):
+    `frozen`'s array leaves are threaded through as jit ARGUMENTS, not a
+    closure capture: a captured 860M-param pytree would be baked into the
+    HLO as >2GB of constants (unshareable between programs, re-uploaded
+    per compile — it broke the single-chip compile outright). Non-array
+    leaves (e.g. sbg_buffers' `id_start`, which must stay a static python
+    int for slicing) remain closed over.
+    """
+    jtu = jax.tree_util
+    treedef = jtu.tree_structure(frozen)
+    is_arr = [hasattr(l, "shape") and hasattr(l, "dtype")
+              for l in jtu.tree_leaves(frozen)]
+    static_leaves = [None if a else l
+                     for l, a in zip(jtu.tree_leaves(frozen), is_arr)]
+
+    def _rebuild(arrays):
+        it = iter(arrays)
+        return jtu.tree_unflatten(
+            treedef,
+            [next(it) if a else s for a, s in zip(is_arr, static_leaves)])
+
+    def step(frozen_arrays, state: State, batch: Params, rng: jax.Array):
+        frozen_ = _rebuild(frozen_arrays)
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, frozen, batch, schedule, cfg, rng)
+        )(state.params, frozen_, batch, schedule, cfg, rng)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
         metrics = dict(metrics, grad_norm=gnorm)
         return State(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(1,) if donate else ())
+
+    def run(state: State, batch: Params, rng: jax.Array):
+        # re-read `frozen` each call so UNet weight hot-swaps are picked up
+        arrays = [l for l, a in zip(jtu.tree_leaves(frozen), is_arr) if a]
+        return jitted(arrays, state, batch, rng)
+
+    return run
 
 
 def init_state(trainable: Params, optimizer: optax.GradientTransformation) -> State:

@@ -65,6 +65,11 @@ class TrainerConfig:
     dp: int | None = None
     profile: bool = False
     sample_every: int = 0  # decode + log recon previews every N steps
+    # full-UNet finetuning (`v1-finetune-unet.yaml` / unfreeze_model=true):
+    # the UNet moves into the trainable set and ckpts export it as fp16
+    # safetensors (`ddpm.py:4041-4062`)
+    unfreeze_unet: bool = False
+    unet_lr_scale: float = 1.0  # reference scales UNet lr vs sbg lr
 
 
 class Trainer:
@@ -96,6 +101,11 @@ class Trainer:
             unet_distill_iter_gap=cfg.unet_distill_iter_gap,
             has_comp_unet_weights="comp_unet" in frozen,
         )
+        if cfg.unfreeze_unet and "unet" in frozen:
+            # same buffers appear in both trees: the loss fns prefer
+            # trainable["unet"] (gradients flow), frozen's copy is only the
+            # dict-key fallback and costs no extra HBM
+            trainable = dict(trainable, unet=frozen["unet"])
         base_opt = make_optimizer(
             cfg.optimizer, cfg.lr, warmup_steps=cfg.warmup_steps,
             total_steps=cfg.max_steps, grad_clip=cfg.grad_clip)
@@ -135,10 +145,10 @@ class Trainer:
 
     def _hot_swap_unet(self, to_comp: bool):
         """Swap the frozen UNet between base and comp weight sets
-        (`ddpm.py:472-483`); step fns are re-jitted against the new set."""
+        (`ddpm.py:472-483`). Step fns take `frozen` as a jit argument and
+        read the mutated dict — same shapes, so no recompile."""
         src = self.frozen["comp_unet"] if to_comp else self._base_unet_host
         self.frozen["unet"] = jax.tree_util.tree_map(jnp.asarray, src)
-        self._steps.clear()
 
     # ---------------------------------------------------------- host prep
     def _prepare_batch(self, examples: list[dict], flags, rng) -> Params:
@@ -248,6 +258,7 @@ class Trainer:
         it = iter(sampler)
         rng = jax.random.PRNGKey(self.cfg.seed)
         metrics = {}
+        nan_streak = 0
         for step in range(num_steps):
             flags = self.planner.plan(step)
             if flags.switch_weights:
@@ -257,8 +268,26 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             batch = self._prepare_batch(examples, flags, sub)
             step_fn = self._get_step(flags.iter_type)
-            self.state, metrics = step_fn(self.state, batch,
-                                          jax.random.PRNGKey(flags.seed))
+            try:
+                self.state, metrics = step_fn(self.state, batch,
+                                              jax.random.PRNGKey(flags.seed))
+            except KeyboardInterrupt:
+                # interrupt-time checkpoint (`main.py:429-433`)
+                out = self.save(step)
+                print(f"\ninterrupted at step {step}; checkpoint -> {out}")
+                raise
+            # NaN/Inf loss trap (`ddpm.py:2489-2491`)
+            loss = float(np.asarray(metrics.get("loss", 0.0)))
+            if not np.isfinite(loss):
+                nan_streak += 1
+                print(f"WARNING: non-finite loss at step {step} "
+                      f"({flags.iter_type})")
+                if nan_streak >= 3:
+                    self.save(step)
+                    raise FloatingPointError(
+                        f"loss non-finite for {nan_streak} consecutive steps")
+            else:
+                nan_streak = 0
             self.logger.log_dict(step, {**{k: v for k, v in metrics.items()},
                                         "iter_type_id": {"recon": 0,
                                                          "unet_distill": 1,
@@ -277,6 +306,39 @@ class Trainer:
                 self.save(step + 1)
         return metrics
 
+    def load(self, ckpt_dir: str) -> int:
+        """Warm-start trainable params from an adaface checkpoint
+        (`--adaface_ckpt_paths` / `-r` resume semantics, `main.py:547-565`;
+        optimizer state deliberately restarts, `README.md:72`). → saved step."""
+        from adaface_tpu.train.checkpoint import load_adaface_ckpt
+
+        state, manifest = load_adaface_ckpt(ckpt_dir)
+        sbgs = state.get("subj_basis_generators", {})
+        if sbgs and "sbg" in self.state.params:
+            name = next(iter(sbgs))
+            self.state.params["sbg"] = jax.tree_util.tree_map(
+                jnp.asarray, sbgs[name])
+        lora = state.get("unet_lora_modules") or {}
+        for k in ("attn_lora", "ffn_lora"):
+            if k in lora and k in self.state.params:
+                self.state.params[k] = jax.tree_util.tree_map(
+                    jnp.asarray, lora[k])
+        step = int(manifest.get("step", 0))
+        print(f"warm-started from {ckpt_dir} (step {step})")
+        return step
+
+    @staticmethod
+    def latest_ckpt(log_dir: str) -> str | None:
+        """Most recent `checkpoints/embeddings_gs-N` under a log dir."""
+        d = os.path.join(log_dir, "checkpoints")
+        if not os.path.isdir(d):
+            return None
+        cands = [(int(n.rsplit("-", 1)[1]), os.path.join(d, n))
+                 for n in os.listdir(d)
+                 if n.startswith("embeddings_gs-")
+                 and n.rsplit("-", 1)[1].isdigit()]
+        return max(cands)[1] if cands else None
+
     def save(self, step: int):
         out = os.path.join(self.cfg.log_dir, f"checkpoints/embeddings_gs-{step}")
         # structured like AdaFaceWrapper.load_unet_lora_weights expects
@@ -285,6 +347,14 @@ class Trainer:
         save_adaface_ckpt(
             out, step, {"joint": self.state.params.get("sbg", {})},
             unet_lora_params=lora or None)
+        if self.cfg.unfreeze_unet and "unet" in self.state.params:
+            # finetuned UNet exported fp16 safetensors (`ddpm.py:4041-4062`)
+            from adaface_tpu.tools.ckpt_lib import (
+                cast_fp16, flatten_tree, save_state_dict)
+
+            save_state_dict(
+                cast_fp16(flatten_tree(self.state.params["unet"])),
+                os.path.join(out, "unet_fp16.safetensors"))
         return out
 
 

@@ -41,19 +41,7 @@ TEXT_PREFIX = "cond_stage_model."
 UNET_PREFIX = "model.diffusion_model."
 
 
-def _flatten(tree, prefix=""):
-    import numpy as np
-
-    flat = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            flat.update(_flatten(v, f"{prefix}{k}."))
-    elif isinstance(tree, (list, tuple)):
-        for i, v in enumerate(tree):
-            flat.update(_flatten(v, f"{prefix}{i}."))
-    else:
-        flat[prefix[:-1]] = np.asarray(tree)
-    return flat
+from adaface_tpu.tools.ckpt_lib import flatten_tree as _flatten  # noqa: E402
 
 
 def main():

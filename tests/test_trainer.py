@@ -105,6 +105,10 @@ def test_trainer_runs_all_iteration_types(toy_dataset, tmp_path):
     assert os.path.exists(os.path.join(cfg.log_dir, "metrics.csv"))
     ckpts = os.listdir(os.path.join(cfg.log_dir, "checkpoints"))
     assert any(c.startswith("embeddings_gs-") for c in ckpts)
+    # resume path: newest ckpt found and warm-started into the trainer
+    ck = Trainer.latest_ckpt(cfg.log_dir)
+    assert ck is not None and ck.endswith("embeddings_gs-6")
+    assert trainer.load(ck) == 6
 
 
 def test_sample_logger(tmp_path):
@@ -127,3 +131,43 @@ def test_sample_logger(tmp_path):
     sl.close()
     files = os.listdir(os.path.join(str(tmp_path), "samples"))
     assert files == ["0000007_recon.png"]
+
+
+def test_trainer_unfreeze_unet(toy_dataset, tmp_path):
+    """`unfreeze_unet` (v1-finetune-unet.yaml): UNet joins the trainable
+    set, receives updates, and checkpoints export unet_fp16.safetensors."""
+    import os
+
+    rng = jax.random.PRNGKey(0)
+    tok = CLIPTokenizer.character_fallback()
+    k_id = 16
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", k_id)])
+    encoder = Arc2FaceID2AdaPrompt(
+        jax.random.fold_in(rng, 1), face_backend=DeterministicBackend(),
+        clip_vision_cfg=SMALL_VISION, sbg_clip_cfg=SMALL_CLIP,
+        text_cfg=SMALL_CLIP, output_dim=D, is_training=True)
+    unet = init_unet_params(jax.random.fold_in(rng, 3), UNET_CFG)
+    text = init_text_params(jax.random.fold_in(rng, 4), SMALL_CLIP)
+    frozen = {"unet": unet, "text_encoder": text,
+              "sbg_buffers": encoder.subj_basis_generator["buffers"]}
+    trainable = {"sbg": encoder.subj_basis_generator["params"]}
+
+    cfg = TrainerConfig(
+        log_dir=str(tmp_path / "logs"), batch_size=2, max_steps=2,
+        accum_steps=1, ckpt_every=2, optimizer="adamw", lr=1e-3,
+        warmup_steps=1, image_size=128, num_vectors_per_subj_token=k_id,
+        unfreeze_unet=True)
+    train_cfg = TrainConfig(unet=UNET_CFG, sbg=encoder.sbg_cfg,
+                            clip_text=SMALL_CLIP)
+    trainer = Trainer(cfg, train_cfg, frozen, trainable, encoder, em)
+    assert "unet" in trainer.state.params
+    before = np.asarray(
+        jax.tree_util.tree_leaves(trainer.state.params["unet"])[0]).copy()
+    ds = PersonalizedBase(toy_dataset, num_vectors_per_subj_token=k_id,
+                          size=128, seed=0)
+    trainer.fit(ds, num_steps=2)
+    after = np.asarray(
+        jax.tree_util.tree_leaves(trainer.state.params["unet"])[0])
+    assert not np.allclose(before, after)  # UNet actually updated
+    ck = Trainer.latest_ckpt(cfg.log_dir)
+    assert os.path.exists(os.path.join(ck, "unet_fp16.safetensors"))

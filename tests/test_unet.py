@@ -180,3 +180,24 @@ def test_sd15_full_size_param_count():
     params = init_unet_params(jax.random.PRNGKey(0), SD15_UNET)
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     assert 8.4e8 < n < 8.8e8, n
+
+
+def test_unet_grad_through_bf16_weights(tiny_unet):
+    """Grad w.r.t. a f32 input through a bf16 UNet (the training setup:
+    frozen bf16 UNet, f32 trainable upstream). Regression for the
+    lax.conv transpose dtype mismatch when conv used
+    preferred_element_type=f32."""
+    bf16 = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16)
+        if p.dtype == jnp.float32 else p, tiny_unet)
+    x, t, _ = _inputs(b=1)
+
+    def loss(ctx):
+        eps, _ = unet_apply(bf16, x, t, ctx.astype(jnp.bfloat16), TINY)
+        return (eps.astype(jnp.float32) ** 2).mean()
+
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 16, TINY.cross_attn_dim))
+    g = jax.grad(loss)(ctx)
+    assert g.dtype == ctx.dtype
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

@@ -97,6 +97,16 @@ def build_and_train(cfg: dict, args):
 
     trainer = Trainer(trainer_cfg, train_cfg, frozen, trainable, encoder, em,
                       vae_params=vae, teacher=teacher, comp_cfg=comp_cfg)
+    if args.resume:
+        # `-r logdir` resume: warm-start from the newest ckpt in log_dir
+        # (`main.py:547-565`; optimizer restarts by design, README.md:72)
+        ck = Trainer.latest_ckpt(args.log_dir)
+        if ck is None:
+            print(f"no checkpoint under {args.log_dir}, starting fresh")
+        else:
+            trainer.load(ck)
+    elif args.adaface_ckpt_path:
+        trainer.load(args.adaface_ckpt_path)
     trainer.fit(dataset, num_steps=args.max_steps or trainer_cfg.max_steps)
 
 
@@ -108,6 +118,10 @@ def main():
     ap.add_argument("--max_steps", type=int, default=None)
     ap.add_argument("--scale_lr", action="store_true",
                     help="lr = accum * n_devices * batch * base_lr")
+    ap.add_argument("-r", "--resume", action="store_true",
+                    help="resume from the newest checkpoint in --log_dir")
+    ap.add_argument("--adaface_ckpt_path", default=None,
+                    help="warm-start trainable params from this checkpoint")
     ap.add_argument("overrides", nargs="*", help="dot.key=value overrides")
     args = ap.parse_args()
 
