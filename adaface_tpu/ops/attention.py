@@ -4,8 +4,10 @@ Design notes (tpu-first, not a port):
 
 - The hot path (SD1.5 UNet self-attention over 4096/1024/256/64 image tokens)
   runs a Pallas flash-attention kernel: online softmax, K/V streamed through
-  VMEM in blocks, fp32 accumulation on the MXU, head dim padded to the
-  128-lane boundary inside the kernel.
+  VMEM in blocks, fp32 accumulation on the MXU. For head dims < 128 (SD1.5:
+  40/80) a TRANSPOSED-layout variant keeps D on the 8-sublane axis and S on
+  the 128-lane axis, avoiding the 3.2x lane-pad waste of the standard layout
+  (measured -31%/-51% per call; end-to-end bench 1.78 -> 2.14 imgs/s).
 - Capture paths (the reference's `AttnProcessor_LoRA_Capture` slow path that
   returns attention scores/probs, `adaface/diffusers_attn_lora_capture.py:
   274-343`) use the XLA reference implementation with `return_probs=True` —
@@ -160,6 +162,117 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _flash_t_kernel(
+    q_ref,  # (1, 1, dp, bq) — transposed layout: D on sublanes, S on lanes
+    k_ref,  # (1, 1, dp, bk)
+    v_ref,  # (1, 1, dp, bk)
+    mask_ref,  # (1, 1, bk) f32 1/0
+    o_ref,  # (1, 1, dp, bq)
+    m_scratch,  # (8, bq) f32
+    l_scratch,  # (8, bq) f32
+    acc_scratch,  # (dp, bq) f32
+    *,
+    scale: float,
+):
+    """Transposed-layout flash step: scores are built as s'[bk, bq] so the
+    online softmax reduces over sublanes and PV needs no in-kernel
+    transpose. For SD1.5 head dims (40/80) this avoids the 128-lane pad of
+    the standard layout — measured 31-51% faster per call on v5e
+    (self-attn S4096 D40: 47.9→32.5 ms; cross-attn Sk77: 14.7→7.2 ms)."""
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    qt = q_ref[0, 0]  # [dp, bq]
+    kt = k_ref[0, 0]  # [dp, bk]
+    s = jax.lax.dot_general(
+        kt, qt, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * jnp.float32(scale)
+    mask = mask_ref[0, 0]  # (bk,)
+    s = jnp.where(mask[:, None] > 0, s, NEG_INF)
+
+    m_prev = m_scratch[:1, :]
+    l_prev = l_scratch[:1, :]
+    m_curr = jnp.max(s, axis=0, keepdims=True)  # [1, bq]
+    m_next = jnp.maximum(m_prev, m_curr)
+    corr = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = l_prev * corr + jnp.sum(p, axis=0, keepdims=True)
+
+    vt = v_ref[0, 0]  # [dp, bk]
+    pv = jax.lax.dot_general(
+        vt, p.astype(vt.dtype), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [dp, bq]
+    acc_scratch[:] = acc_scratch[:] * corr + pv
+    m_scratch[:] = jnp.broadcast_to(m_next, m_scratch.shape)
+    l_scratch[:] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_scratch[:1, :]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+
+
+def _flash_forward_t(
+    q, k, v, kv_mask, scale: float, bq: int, bk: int, interpret: bool
+):
+    """Transposed-layout forward on standard [B,H,S,D] inputs; the in/out
+    transposes fuse into neighboring XLA ops (measured free on v5e)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    qt = q.transpose(0, 1, 3, 2)
+    kt = k.transpose(0, 1, 3, 2)
+    vt = v.transpose(0, 1, 3, 2)
+    dp = _round_up(d, 8)
+    bq = min(bq, _round_up(sq, 128))
+    bk = min(bk, _round_up(sk, 128))
+    sq_p = _round_up(sq, bq)
+    sk_p = _round_up(sk, bk)
+    qp = jnp.pad(qt, ((0, 0), (0, 0), (0, dp - d), (0, sq_p - sq)))
+    kp = jnp.pad(kt, ((0, 0), (0, 0), (0, dp - d), (0, sk_p - sk)))
+    vp = jnp.pad(vt, ((0, 0), (0, 0), (0, dp - d), (0, sk_p - sk)))
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, sk), jnp.float32)
+    maskp = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, sk_p - sk)))
+    maskp = maskp[:, None, :]
+
+    grid = (b, h, sq_p // bq, sk_p // bk)
+    out = pl.pallas_call(
+        functools.partial(_flash_t_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, dp, bq),
+                             lambda b_, h_, iq, ik: (b_, h_, 0, iq)),
+                pl.BlockSpec((1, 1, dp, bk),
+                             lambda b_, h_, iq, ik: (b_, h_, 0, ik)),
+                pl.BlockSpec((1, 1, dp, bk),
+                             lambda b_, h_, iq, ik: (b_, h_, 0, ik)),
+                pl.BlockSpec((1, 1, bk), lambda b_, h_, iq, ik: (b_, 0, ik)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, dp, bq), lambda b_, h_, iq, ik: (b_, h_, 0, iq)),
+            scratch_shapes=[
+                pltpu.VMEM((8, bq), jnp.float32),
+                pltpu.VMEM((8, bq), jnp.float32),
+                pltpu.VMEM((dp, bq), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, dp, sq_p), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, maskp)
+    return out[:, :, :d, :sq].transpose(0, 1, 3, 2)
+
+
 def _flash_forward(
     q, k, v, kv_mask, causal: bool, scale: float, bq: int, bk: int, interpret: bool
 ):
@@ -212,13 +325,22 @@ def _flash_forward(
     return out[:, :, :sq, :d]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_attention(q, k, v, kv_mask, causal, scale, bq, bk, interpret):
+def _dispatch_forward(q, k, v, kv_mask, causal, scale, bq, bk, interpret):
+    # transposed layout wins whenever the head dim would be lane-padded
+    # (D < 128); the standard layout keeps the causal path (CLIP text runs
+    # through XLA anyway) and D >= 128 (S256/D160 measured 9.3 vs 9.8 ms)
+    if not causal and q.shape[-1] < 128:
+        return _flash_forward_t(q, k, v, kv_mask, scale, bq, bk, interpret)
     return _flash_forward(q, k, v, kv_mask, causal, scale, bq, bk, interpret)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, kv_mask, causal, scale, bq, bk, interpret):
+    return _dispatch_forward(q, k, v, kv_mask, causal, scale, bq, bk, interpret)
+
+
 def _flash_fwd(q, k, v, kv_mask, causal, scale, bq, bk, interpret):
-    out = _flash_forward(q, k, v, kv_mask, causal, scale, bq, bk, interpret)
+    out = _dispatch_forward(q, k, v, kv_mask, causal, scale, bq, bk, interpret)
     return out, (q, k, v, kv_mask)
 
 

@@ -41,7 +41,12 @@ def test_sdpa_kv_mask():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
 
 
-@pytest.mark.parametrize("sq,sk,d", [(256, 256, 64), (256, 384, 40), (130, 77, 40)])
+@pytest.mark.parametrize("sq,sk,d", [(256, 256, 64), (256, 384, 40),
+                                     (130, 77, 40),
+                                     # d>=128 keeps the standard-layout
+                                     # kernel covered (d<128 routes to the
+                                     # transposed kernel)
+                                     (256, 256, 128)])
 def test_flash_matches_reference(sq, sk, d):
     q, k, v = _rand_qkv(jax.random.PRNGKey(3), b=1, h=2, sq=sq, sk=sk, d=d)
     ref = scaled_dot_product_attention(q, k, v)
