@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any
 
 import jax
@@ -38,6 +39,7 @@ import jax.numpy as jnp
 
 from adaface_tpu.ops.attention import multi_head_attention
 from adaface_tpu.ops.fused_gn import fused_group_norm_silu
+from adaface_tpu.ops.fused_ln import fused_layer_norm
 from adaface_tpu.ops.resize import resize_nearest, upsample2x_nearest
 from adaface_tpu.utils.tensor import gen_gradient_scaler, gradient_scale
 
@@ -123,7 +125,14 @@ def gn_silu(p: Params, x: jax.Array, groups: int, eps: float) -> jax.Array:
     return group_norm(p, x, groups, eps, apply_silu=True)
 
 
+# A/B toggles for on-chip experiments (both measured via bench.py e2e)
+_FUSED_LN = os.environ.get("ADAFACE_FUSED_LN", "0") == "1"
+_FUSED_QKV = os.environ.get("ADAFACE_FUSED_QKV", "1") == "1"
+
+
 def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    if _FUSED_LN:
+        return fused_layer_norm(x, p["scale"], p["bias"], eps)
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = xf.var(-1, keepdims=True)
@@ -412,24 +421,33 @@ def _cross_attention(
 
     use_lora = rt.use_attn_lora and lora is not None and is_cross
 
-    q = jnp.einsum("bnc,cd->bnd", x, p["q"]["w"].astype(x.dtype))
-    if use_lora and "q" in lora:
-        q2 = dora_dense({"w": p["q"]["w"], "b": jnp.zeros((c,), x.dtype)},
-                        lora["q"], x, lora_scale)
-        if rt.q_lora_updates_query:
-            q = q2
-    else:
+    if not is_cross and _FUSED_QKV:
+        # fused QKV: one matmul reads x once instead of three times —
+        # the projections are HBM-bound at 4096 image tokens
+        wqkv = jnp.concatenate(
+            [p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=1).astype(x.dtype)
+        q, k, v = jnp.split(jnp.einsum("bnc,cd->bnd", x, wqkv), 3, axis=-1)
         q2 = q
-
-    if use_lora and "k" in lora and rt.use_attn_lora and False:
+    elif not is_cross:
+        q = jnp.einsum("bnc,cd->bnd", x, p["q"]["w"].astype(x.dtype))
+        k = jnp.einsum("bnc,cd->bnd", x, p["k"]["w"].astype(x.dtype))
+        v = jnp.einsum("bnc,cd->bnd", x, p["v"]["w"].astype(x.dtype))
+        q2 = q
+    else:
+        q = jnp.einsum("bnc,cd->bnd", x, p["q"]["w"].astype(x.dtype))
+        if use_lora and "q" in lora:
+            q2 = dora_dense({"w": p["q"]["w"], "b": jnp.zeros((c,), x.dtype)},
+                            lora["q"], x, lora_scale)
+            if rt.q_lora_updates_query:
+                q = q2
+        else:
+            q2 = q
         # k/v LoRAs exist in the param set but are disabled in the live
         # reference path ("currently k, v loras are never enabled",
-        # `diffusers_attn_lora_capture.py:240-243`)
-        k = dora_dense({"w": p["k"]["w"], "b": jnp.zeros((c,), x.dtype)},
-                       lora["k"], ctx, lora_scale)
-    else:
-        k = jnp.einsum("bnc,cd->bnd", ctx, p["k"]["w"].astype(x.dtype))
-    v = jnp.einsum("bnc,cd->bnd", ctx, p["v"]["w"].astype(x.dtype))
+        # `diffusers_attn_lora_capture.py:240-243`); fused KV over context
+        wkv = jnp.concatenate(
+            [p["k"]["w"], p["v"]["w"]], axis=1).astype(x.dtype)
+        k, v = jnp.split(jnp.einsum("bnc,cd->bnd", ctx, wkv), 2, axis=-1)
 
     def split(t):
         return t.reshape(b, -1, num_heads, hd).transpose(0, 2, 1, 3)

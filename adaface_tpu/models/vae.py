@@ -22,6 +22,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from adaface_tpu.ops.attention import multi_head_attention
 from adaface_tpu.ops.fused_gn import fused_group_norm_silu
 from adaface_tpu.ops.resize import resize_nearest, upsample2x_nearest
 
@@ -129,24 +130,34 @@ def _attnblock(p, x, cfg, mask=None):
     q = _conv(p["q"], y, padding=0).reshape(b, h * w, c)
     k = _conv(p["k"], y, padding=0).reshape(b, h * w, c)
     v = _conv(p["v"], y, padding=0).reshape(b, h * w, c)
+
+    if mask is None or mask.get("fg_mask") is None:
+        # unmasked (every decode + unmasked encode): flash attention —
+        # the einsum path materializes [B, HW, HW] logits+probs (2 GB fp32
+        # at bs32 64×64), pure HBM traffic the fused kernel never writes
+        out = multi_head_attention(
+            q[:, None], k[:, None], v[:, None],
+            scale=1.0 / math.sqrt(c))[:, 0].astype(x.dtype)
+        out = _conv(p["proj_out"], out.reshape(b, h, w, c), padding=0)
+        return x + out
+
     logits = jnp.einsum("bic,bjc->bij", q, k,
                         preferred_element_type=jnp.float32) / math.sqrt(c)
     probs = jax.nn.softmax(logits, axis=-1)
 
-    if mask is not None and mask.get("fg_mask") is not None:
-        fg = mask["fg_mask"].astype(jnp.float32)
-        fg = resize_nearest(fg, (h, w))
-        bg = 1.0 - fg
-        aug = mask.get("aug_mask")
-        if aug is not None:
-            aug = resize_nearest(aug.astype(jnp.float32), (h, w))
-            fg = fg * aug
-            bg = bg * aug
-        fg2 = fg.reshape(b, h * w)
-        bg2 = bg.reshape(b, h * w)
-        homo = (jnp.einsum("bi,bj->bij", fg2, fg2)
-                + jnp.einsum("bi,bj->bij", bg2, bg2)) > 0
-        probs = jnp.where(homo, probs, 0.0)
+    fg = mask["fg_mask"].astype(jnp.float32)
+    fg = resize_nearest(fg, (h, w))
+    bg = 1.0 - fg
+    aug = mask.get("aug_mask")
+    if aug is not None:
+        aug = resize_nearest(aug.astype(jnp.float32), (h, w))
+        fg = fg * aug
+        bg = bg * aug
+    fg2 = fg.reshape(b, h * w)
+    bg2 = bg.reshape(b, h * w)
+    homo = (jnp.einsum("bi,bj->bij", fg2, fg2)
+            + jnp.einsum("bi,bj->bij", bg2, bg2)) > 0
+    probs = jnp.where(homo, probs, 0.0)
 
     out = jnp.einsum("bij,bjc->bic", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(x.dtype)

@@ -163,22 +163,25 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_t_kernel(
-    q_ref,  # (1, 1, dp, bq) — transposed layout: D on sublanes, S on lanes
-    k_ref,  # (1, 1, dp, bk)
-    v_ref,  # (1, 1, dp, bk)
-    mask_ref,  # (1, 1, bk) f32 1/0
-    o_ref,  # (1, 1, dp, bq)
-    m_scratch,  # (8, bq) f32
-    l_scratch,  # (8, bq) f32
-    acc_scratch,  # (dp, bq) f32
-    *,
+    *refs,
     scale: float,
+    has_mask: bool,
 ):
     """Transposed-layout flash step: scores are built as s'[bk, bq] so the
     online softmax reduces over sublanes and PV needs no in-kernel
     transpose. For SD1.5 head dims (40/80) this avoids the 128-lane pad of
     the standard layout — measured 31-51% faster per call on v5e
-    (self-attn S4096 D40: 47.9→32.5 ms; cross-attn Sk77: 14.7→7.2 ms)."""
+    (self-attn S4096 D40: 47.9→32.5 ms; cross-attn Sk77: 14.7→7.2 ms).
+    When there is no kv mask and no seq padding the masking pass is
+    compiled out entirely (has_mask=False, ~3% per call).
+
+    refs: q (1,1,dp,bq), k (1,1,dp,bk), v (1,1,dp,bk), [mask (1,1,bk)],
+    out (1,1,dp,bq), scratches m (8,bq), l (8,bq), acc (dp,bq)."""
+    if has_mask:
+        q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, \
+            acc_scratch = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch = refs
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -194,8 +197,9 @@ def _flash_t_kernel(
         kt, qt, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * jnp.float32(scale)
-    mask = mask_ref[0, 0]  # (bk,)
-    s = jnp.where(mask[:, None] > 0, s, NEG_INF)
+    if has_mask:
+        mask = mask_ref[0, 0]  # (bk,)
+        s = jnp.where(mask[:, None] > 0, s, NEG_INF)
 
     m_prev = m_scratch[:1, :]
     l_prev = l_scratch[:1, :]
@@ -239,26 +243,32 @@ def _flash_forward_t(
     qp = jnp.pad(qt, ((0, 0), (0, 0), (0, dp - d), (0, sq_p - sq)))
     kp = jnp.pad(kt, ((0, 0), (0, 0), (0, dp - d), (0, sk_p - sk)))
     vp = jnp.pad(vt, ((0, 0), (0, 0), (0, dp - d), (0, sk_p - sk)))
-    if kv_mask is None:
-        kv_mask = jnp.ones((b, sk), jnp.float32)
-    maskp = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, sk_p - sk)))
-    maskp = maskp[:, None, :]
+
+    # the masking pass is needed only for an explicit kv mask or key
+    # padding; compile it out otherwise (the SD1.5 self-attn hot path)
+    has_mask = kv_mask is not None or sk_p != sk
+    in_specs = [
+        pl.BlockSpec((1, 1, dp, bq), lambda b_, h_, iq, ik: (b_, h_, 0, iq)),
+        pl.BlockSpec((1, 1, dp, bk), lambda b_, h_, iq, ik: (b_, h_, 0, ik)),
+        pl.BlockSpec((1, 1, dp, bk), lambda b_, h_, iq, ik: (b_, h_, 0, ik)),
+    ]
+    args = [qp, kp, vp]
+    if has_mask:
+        if kv_mask is None:
+            kv_mask = jnp.ones((b, sk), jnp.float32)
+        maskp = jnp.pad(kv_mask.astype(jnp.float32),
+                        ((0, 0), (0, sk_p - sk)))
+        in_specs.append(
+            pl.BlockSpec((1, 1, bk), lambda b_, h_, iq, ik: (b_, 0, ik)))
+        args.append(maskp[:, None, :])
 
     grid = (b, h, sq_p // bq, sk_p // bk)
     out = pl.pallas_call(
-        functools.partial(_flash_t_kernel, scale=scale),
+        functools.partial(_flash_t_kernel, scale=scale, has_mask=has_mask),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, dp, bq),
-                             lambda b_, h_, iq, ik: (b_, h_, 0, iq)),
-                pl.BlockSpec((1, 1, dp, bk),
-                             lambda b_, h_, iq, ik: (b_, h_, 0, ik)),
-                pl.BlockSpec((1, 1, dp, bk),
-                             lambda b_, h_, iq, ik: (b_, h_, 0, ik)),
-                pl.BlockSpec((1, 1, bk), lambda b_, h_, iq, ik: (b_, 0, ik)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, dp, bq), lambda b_, h_, iq, ik: (b_, h_, 0, iq)),
             scratch_shapes=[
@@ -269,8 +279,24 @@ def _flash_forward_t(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, dp, sq_p), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, maskp)
+    )(*args)
     return out[:, :, :d, :sq].transpose(0, 1, 3, 2)
+
+
+def _clamp_blocks_to_vmem(bq: int, bk: int, dp: int, bytes_per_el: int,
+                          budget: int = 12 * 1024 * 1024):
+    """Shrink (bq, bk) until the kernel's VMEM footprint fits: double-
+    buffered q/k/v blocks + fp32 scores [bq, bk] + fp32 acc [bq, dp].
+    Needed for large head dims (VAE single-head attention, D=512)."""
+    def footprint(bq, bk):
+        io = 2 * (bq * dp + 2 * bk * dp + bq * dp) * bytes_per_el
+        return io + bq * bk * 4 + bq * dp * 4
+    while footprint(bq, bk) > budget and max(bq, bk) > 128:
+        if bk >= bq and bk > 128:
+            bk //= 2
+        else:
+            bq //= 2
+    return bq, bk
 
 
 def _flash_forward(
@@ -281,6 +307,7 @@ def _flash_forward(
     dp = _round_up(d, 128)
     bq = min(bq, _round_up(sq, 128))
     bk = min(bk, _round_up(sk, 128))
+    bq, bk = _clamp_blocks_to_vmem(bq, bk, dp, q.dtype.itemsize)
     sq_p = _round_up(sq, bq)
     sk_p = _round_up(sk, bk)
 
@@ -367,10 +394,11 @@ def flash_attention(
     kv_mask: jax.Array | None = None,
     causal: bool = False,
     scale: float | None = None,
-    # 1024² blocks measured fastest at the SD1.5 hot shape on v5e
-    # (5.98ms vs 10.56ms for 512² at B8 H8 S4096 D40)
+    # bq1024/bk2048 measured fastest at the SD1.5 hot shape on v5e
+    # (23.9ms vs 25.1 for 1024² vs 28.4 for 512/2048 at B64 H8 S4096 D40;
+    # 2048² and 4096-row blocks exceed VMEM)
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention on [B,H,S,D]; Pallas kernel fwd, remat XLA bwd."""
