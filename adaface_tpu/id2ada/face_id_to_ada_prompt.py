@@ -458,6 +458,46 @@ class JointFaceID2AdaPrompt:
             return faceless, None, None
         return faceless, id_embs, clip_feats
 
+    def get_img_prompt_embs(self, init_id_embs=None, pre_clip_features=None,
+                            images=None, fg_masks=None, id_batch_size: int = 1,
+                            skip_non_faces: bool = True, avg_at_stage=None,
+                            perturb_at_stage=None, perturb_std=0.0, rng=None):
+        """Per-encoder img-prompt embeddings concatenated along the token
+        axis → [B, 16+4, 768]. The reference notes Joint's interface "is
+        fully compatible with FaceID2AdaPrompt.get_batched_img_prompt_embs"
+        (`face_id_to_ada_prompt.py:1184-1186`); init_id_embs /
+        pre_clip_features are per-encoder lists here (or None)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        pos, neg = [], []
+        count = 0
+        for i, enc in enumerate(self.encoders):
+            sub_id = (init_id_embs[i]
+                      if isinstance(init_id_embs, (list, tuple)) else init_id_embs)
+            sub_clip = (pre_clip_features[i]
+                        if isinstance(pre_clip_features, (list, tuple))
+                        else pre_clip_features)
+            rng, sub = jax.random.split(rng)
+            c, _, p, n = enc.get_img_prompt_embs(
+                init_id_embs=sub_id, pre_clip_features=sub_clip,
+                images=images, fg_masks=fg_masks, id_batch_size=id_batch_size,
+                skip_non_faces=skip_non_faces, avg_at_stage=avg_at_stage,
+                perturb_at_stage=perturb_at_stage, perturb_std=perturb_std,
+                rng=sub)
+            if p is None:
+                return 0, None, None, None
+            count = max(count, c)
+            pos.append(p)
+            neg.append(n if n is not None else jnp.zeros_like(p))
+        return (count, init_id_embs, jnp.concatenate(pos, axis=1),
+                jnp.concatenate(neg, axis=1))
+
+    def get_batched_img_prompt_embs(self, batch_size, init_id_embs,
+                                    pre_clip_features, rng=None):
+        return self.get_img_prompt_embs(
+            init_id_embs=init_id_embs, pre_clip_features=pre_clip_features,
+            id_batch_size=batch_size, skip_non_faces=False,
+            avg_at_stage=None, rng=rng)
+
     def generate_adaface_embeddings(
         self, images=None, face_id_embs=None, img_prompt_embs=None,
         fg_masks=None, p_dropout: float | None = None,

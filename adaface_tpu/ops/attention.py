@@ -368,20 +368,80 @@ def _flash_attention(q, k, v, kv_mask, causal, scale, bq, bk, interpret):
 
 def _flash_fwd(q, k, v, kv_mask, causal, scale, bq, bk, interpret):
     out = _dispatch_forward(q, k, v, kv_mask, causal, scale, bq, bk, interpret)
-    return out, (q, k, v, kv_mask)
+    return out, (q, k, v, kv_mask, out)
+
+
+def _pick_bwd_chunk(b: int, h: int, sq: int, sk: int) -> int:
+    """Query-chunk size keeping the per-chunk [B,H,chunk,Sk] fp32 temp
+    ≲ 256 MB; always divides sq."""
+    chunk = max(128, min(sq, (1 << 28) // max(b * h * sk * 4, 1)))
+    chunk = min(chunk, sq)
+    while sq % chunk:
+        chunk //= 2
+    return max(chunk, 1)
 
 
 def _flash_bwd(causal, scale, bq, bk, interpret, res, g):
-    q, k, v, kv_mask = res
-    # Rematerialize attention with the XLA path for the backward pass.
-    def ref(q, k, v):
-        return scaled_dot_product_attention(
-            q, k, v, kv_mask=kv_mask, causal=causal, scale=scale
-        )
+    """Blockwise attention backward: lax.scan over query chunks so no
+    [B,H,Sq,Sk] tensor is ever materialized (a full-SDPA vjp allocates
+    S² fp32 temps — 4 GB per layer at the 4-block comp batch, which OOMs
+    16 GB v5e HBM). Same math as the flash paper's backward:
+      p  = softmax(q k^T · scale)
+      dv = pᵀ g;  ds = p ∘ (g vᵀ − Σ(g ∘ out)) · scale
+      dq = ds k;  dk = dsᵀ q
+    recomputed per chunk from the saved q/k/v (no probs stored)."""
+    q, k, v, kv_mask, out = res
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    chunk = _pick_bwd_chunk(b, h, sq, sk)
+    n_chunks = sq // chunk
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    of = out.astype(jnp.float32)
+
+    q_chunks = qf.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+    g_chunks = gf.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+    o_chunks = of.reshape(b, h, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+
+    mask_bias = None
+    if kv_mask is not None:
+        mask_bias = jnp.where(kv_mask[:, None, None, :] > 0, 0.0, NEG_INF)
+
+    def body(carry, inp):
+        dk_acc, dv_acc, ci = carry
+        q_c, g_c, o_c = inp
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_c, kf,
+                       preferred_element_type=jnp.float32) * jnp.float32(scale)
+        if mask_bias is not None:
+            s = s + mask_bias
+        if causal:
+            rows = ci * chunk + jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, sk), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, sk), 1)
+            s = jnp.where((cols <= rows + (sk - sq))[None, None], s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, g_c,
+                                     preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g_c, vf,
+                        preferred_element_type=jnp.float32)
+        delta = jnp.sum(g_c * o_c, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * jnp.float32(scale)
+        dq_c = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
+                          preferred_element_type=jnp.float32)
+        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", ds, q_c,
+                                     preferred_element_type=jnp.float32)
+        return (dk_acc, dv_acc, ci + 1), dq_c
+
+    init = (jnp.zeros((b, h, sk, d), jnp.float32),
+            jnp.zeros((b, h, sk, d), jnp.float32), jnp.int32(0))
+    (dk, dv, _), dq_chunks = jax.lax.scan(
+        body, init, (q_chunks, g_chunks, o_chunks))
+    dq = dq_chunks.transpose(1, 2, 0, 3, 4).reshape(b, h, sq, d)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -63,10 +63,20 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _pick_block_rows(n: int, c: int, itemsize: int, cap: int = 512) -> int:
+    """Rows per block such that the in-block stays ≤ ~1 MB — with fp32
+    temps and double buffering that keeps the kernel's scoped VMEM well
+    under the 16 MB limit (512 rows × 1920 ch × f32 measured 22.5 MB and
+    failed to compile on v5e; 136 rows fits)."""
+    budget = 1024 * 1024
+    br = max(8, min(cap, budget // max(c * itemsize, 1)))
+    return min(_round_up(n, 8), (br // 8) * 8)
+
+
 def _gn_silu_fwd_tpu(x2, scale, bias, groups, eps, apply_silu):
     b, n, c = x2.shape
     g = groups
-    br = min(_round_up(n, 8), 512)
+    br = _pick_block_rows(n, c, x2.dtype.itemsize)
     npad = _round_up(n, br)
     xp = jnp.pad(x2, ((0, 0), (0, npad - n), (0, 0))) if npad != n else x2
     nb = npad // br

@@ -44,7 +44,10 @@ def _ln_ref(x2, scale, bias, eps):
 
 def _ln_fwd_tpu(x2, scale, bias, eps):
     r, c = x2.shape
-    br = min(_round_up(r, 8), 1024)
+    # keep the in-block ≤ ~1 MB (see ops/fused_gn._pick_block_rows)
+    budget = 1024 * 1024
+    br = max(8, min(1024, budget // max(c * x2.dtype.itemsize, 1)) // 8 * 8)
+    br = min(_round_up(r, 8), br)
     rp = _round_up(r, br)
     xp = jnp.pad(x2, ((0, rp - r), (0, 0))) if rp != r else x2
     yp = pl.pallas_call(

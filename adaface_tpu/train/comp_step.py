@@ -29,7 +29,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from adaface_tpu.id2ada.subj_basis_generator import subj_basis_forward
 from adaface_tpu.models.unet import AttnRuntime, unet_apply
 from adaface_tpu.ops.schedules import DiffusionSchedule
 from adaface_tpu.train.comp_losses import (
@@ -42,7 +41,8 @@ from adaface_tpu.train.losses import (
     calc_prompt_emb_delta_loss,
     calc_subj_masked_bg_suppress_loss,
 )
-from adaface_tpu.train.train_step import TrainConfig, _encode_prompts_with_ada
+from adaface_tpu.train.train_step import (TrainConfig, _encode_prompts_with_ada,
+                                           compute_ada_embs)
 
 Params = dict[str, Any]
 
@@ -86,7 +86,8 @@ def prime_comp_x_start(
         k_t, (b,), int(cfg.priming_t_range[0] * t_total),
         int(cfg.priming_t_range[1] * t_total))
 
-    ctx2 = jnp.concatenate([ctx_subj_single, ctx_cls_comp], axis=0)
+    ctx2 = jnp.concatenate([ctx_subj_single, ctx_cls_comp],
+                           axis=0).astype(jnp.bfloat16)
 
     def step(carry, key):
         x0, t = carry
@@ -94,7 +95,9 @@ def prime_comp_x_start(
         x_t = schedule.q_sample(x0, t, noise)
         x2 = jnp.concatenate([x_t, x_t], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-        eps2, _ = unet_apply(unet_params, x2, t2, ctx2, unet_cfg)
+        eps2, _ = unet_apply(unet_params, x2.astype(jnp.bfloat16), t2, ctx2,
+                             unet_cfg)
+        eps2 = eps2.astype(x0.dtype)
         eps_ss, eps_cc = jnp.split(eps2, 2, axis=0)
         # ensemble CFG between the two contexts (`:1950-1975`)
         eps = eps_cc + cfg.priming_cfg_scale * (eps_ss - eps_cc) * 0.5 \
@@ -145,6 +148,19 @@ def comp_distill_denoise(
     ts = []
     x0, t = x4, t0
     keys = jax.random.split(k_loop, cfg.num_denoising_steps)
+
+    # bf16 UNet activations (the reference autocasts UNet calls to fp16,
+    # `ddpm.py:4225`) + per-step rematerialization: without remat the
+    # 4-block × 4-step backward needs ~34 GB of fp32 HLO temps — over 2×
+    # v5e HBM; with checkpoint the backward recomputes each step's forward
+    ctx_h = ctx4.astype(jnp.bfloat16)
+
+    def unet_step(params, lora, x_t, t):
+        return unet_apply(params, x_t, t, ctx_h, unet_cfg, rt=rt,
+                          attn_lora=lora, subj_mask=subj_mask)
+
+    unet_step = jax.checkpoint(unet_step)
+
     # python loop (static step count): each step's capture dict is a
     # separate pytree output; scan would stack them, which is fine too, but
     # the per-step losses index different steps, so keep them unstacked.
@@ -153,9 +169,9 @@ def comp_distill_denoise(
         noise = jax.random.normal(k1, (b, *x0.shape[1:]), x0.dtype)
         noise4 = jnp.tile(noise, (4, 1, 1, 1))
         x_t = schedule.q_sample(gate_blocks(x0), t, noise4)
-        eps, cap = unet_apply(
-            unet_params, x_t, t, ctx4, unet_cfg, rt=rt,
-            attn_lora=attn_lora, subj_mask=subj_mask)
+        eps, cap = unet_step(unet_params, attn_lora,
+                             x_t.astype(jnp.bfloat16), t)
+        eps = eps.astype(x0.dtype)
         x0 = schedule.predict_start_from_noise(x_t, t, eps)
         captured_steps.append(cap)
         x_starts.append(x0)
@@ -182,12 +198,10 @@ def comp_distill_loss_fn(
     sc_fg_mask_percent scalar; noise [B,4,h,w].
     """
     k_ada, k_prime, k_denoise = jax.random.split(rng, 3)
-    sbg = {"params": trainable["sbg"], "buffers": frozen["sbg_buffers"]}
     # comp iterations use the first instance's embeddings for the whole
     # batch (`embedding_manager.py:316-320`)
-    ada = subj_basis_forward(
-        sbg, batch["img_prompt_embs"][:1], cfg.sbg,
-        out_id_embs_cfg_scale=1.0, is_face=True)
+    ada = compute_ada_embs(trainable, frozen,
+                           batch["img_prompt_embs"][:1], cfg)
     b = batch["img_prompt_embs"].shape[0]
     ada = jnp.tile(ada, (b, 1, 1))
 

@@ -66,6 +66,37 @@ class State:
         return cls(*children)
 
 
+def compute_ada_embs(
+    trainable: Params,
+    frozen: Params,
+    img_prompt_embs: jax.Array,  # [B, sum(K_i), D]
+    cfg: TrainConfig,
+    out_id_embs_cfg_scale: float = 1.0,
+    enable_static_img_suffix_embs: bool = False,
+) -> jax.Array:
+    """Map teacher img-prompt embeddings → ada embeddings through the
+    SubjBasisGenerator(s). With a joint encoder (`Joint_FaceID2AdaPrompt`,
+    reference `face_id_to_ada_prompt.py:868-1302`) cfg.sbg is a tuple of
+    per-encoder configs and trainable['sbg']/frozen['sbg_buffers'] are
+    matching lists; each SBG maps its own token segment (16 arc2face +
+    4 consistentID) and the ada embeddings concatenate along tokens."""
+    sbg_cfgs = cfg.sbg if isinstance(cfg.sbg, (list, tuple)) else (cfg.sbg,)
+    params = (trainable["sbg"] if isinstance(trainable["sbg"], (list, tuple))
+              else (trainable["sbg"],))
+    bufs = (frozen["sbg_buffers"]
+            if isinstance(frozen["sbg_buffers"], (list, tuple))
+            else (frozen["sbg_buffers"],))
+    outs, off = [], 0
+    for p, bf, c in zip(params, bufs, sbg_cfgs):
+        seg = img_prompt_embs[:, off:off + c.num_id_vecs]
+        outs.append(subj_basis_forward(
+            {"params": p, "buffers": bf}, seg, c,
+            out_id_embs_cfg_scale=out_id_embs_cfg_scale, is_face=True,
+            enable_static_img_suffix_embs=enable_static_img_suffix_embs))
+        off += c.num_id_vecs
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _encode_prompts_with_ada(
     frozen: Params,
     ada_embs: jax.Array,  # [B, K, D]
@@ -117,11 +148,7 @@ def recon_loss_fn(
       prompt_ids/splice_map/prompt_emb_mask [4B,…] 4-block prompts;
       img_mask/fg_mask [B,1,64,64]; face_detected [B].
     """
-    sbg = {"params": trainable["sbg"], "buffers": frozen["sbg_buffers"]}
-    ada = subj_basis_forward(
-        sbg, batch["img_prompt_embs"], cfg.sbg,
-        out_id_embs_cfg_scale=1.0, is_face=True,
-    )
+    ada = compute_ada_embs(trainable, frozen, batch["img_prompt_embs"], cfg)
     if cfg.training_perturb_prob > 0:
         from adaface_tpu.utils.tensor import anneal_perturb_embedding
 
@@ -202,12 +229,8 @@ def unet_distill_loss_fn(
     frozen-teacher outputs — the teacher runs in its own jit, possibly on
     other devices).
     """
-    sbg = {"params": trainable["sbg"], "buffers": frozen["sbg_buffers"]}
-    ada = subj_basis_forward(
-        sbg, batch["img_prompt_embs"], cfg.sbg,
-        out_id_embs_cfg_scale=1.0, is_face=True,
-        enable_static_img_suffix_embs=True,
-    )
+    ada = compute_ada_embs(trainable, frozen, batch["img_prompt_embs"], cfg,
+                           enable_static_img_suffix_embs=True)
     ctx4 = _encode_prompts_with_ada(frozen, ada, batch, cfg)
     b = batch["x_start"].shape[0]
 

@@ -68,13 +68,30 @@ def build_and_train(cfg: dict, args):
     # adaface_tpu.tools.convert_sd / convert_clip when available on disk.
 
     tok = default_tokenizer()
-    n_vec = trainer_cfg.num_vectors_per_subj_token
+    # placeholder width follows the encoder (16 arc2face / 4 consistentID /
+    # 20 joint); the YAML value only overrides when it matches a single
+    # encoder ablation (`main.py:272` num_vectors_per_token)
+    n_vec = encoder.num_id_vecs
+    if trainer_cfg.num_vectors_per_subj_token != n_vec:
+        print(f"num_vectors_per_subj_token {trainer_cfg.num_vectors_per_subj_token}"
+              f" -> {n_vec} (encoder {encoder.name})")
     em = EmbeddingManager(tok, [PlaceholderSpec("z", n_vec)])
 
-    enc0 = encoder.encoders[0] if hasattr(encoder, "encoders") else encoder
-    sbg = enc0.subj_basis_generator
-    frozen = {"unet": unet, "text_encoder": text, "sbg_buffers": sbg["buffers"]}
-    trainable = {"sbg": sbg["params"]}
+    encs = encoder.encoders if hasattr(encoder, "encoders") else [encoder]
+    enc0 = encs[0]
+    if len(encs) == 1:
+        frozen = {"unet": unet, "text_encoder": text,
+                  "sbg_buffers": enc0.subj_basis_generator["buffers"]}
+        trainable = {"sbg": enc0.subj_basis_generator["params"]}
+        sbg_cfg = enc0.sbg_cfg
+    else:
+        # joint encoder: one SubjBasisGenerator per sub-encoder, ada token
+        # segments concatenated (`Joint_FaceID2AdaPrompt:868-1302`)
+        frozen = {"unet": unet, "text_encoder": text,
+                  "sbg_buffers": [e.subj_basis_generator["buffers"]
+                                  for e in encs]}
+        trainable = {"sbg": [e.subj_basis_generator["params"] for e in encs]}
+        sbg_cfg = tuple(e.sbg_cfg for e in encs)
 
     teacher = None
     if cfg.get("teacher"):
@@ -88,7 +105,7 @@ def build_and_train(cfg: dict, args):
         k: v for k, v in cfg.get("comp_distill", {}).items()
         if k in comp_fields})
 
-    train_cfg = TrainConfig(sbg=enc0.sbg_cfg)
+    train_cfg = TrainConfig(sbg=sbg_cfg)
     dataset = PersonalizedBase(
         trainer_cfg.data_roots, subject_string="z",
         num_vectors_per_subj_token=n_vec, size=trainer_cfg.image_size,
