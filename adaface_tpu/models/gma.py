@@ -304,3 +304,39 @@ def smooth_flow(flow: jax.Array, kernel_center_weight: float = 2.0,
     if ignore_thres > 0:
         out = jnp.where(jnp.abs(out) < ignore_thres, 0.0, out)
     return out
+
+
+def flow_to_image(flow: "np.ndarray") -> "np.ndarray":
+    """Middlebury color-wheel flow visualization (`gma/utils/flow_viz.py`).
+
+    flow [H,W,2] float → uint8 [H,W,3]. Host-side numpy (visualization
+    only — never on the compute path).
+    """
+    import numpy as np
+
+    # build the standard 55-color wheel (RY/YG/GC/CB/BM/MR sectors)
+    sectors = [(15, (255, 0, 0), (255, 255, 0)), (6, (255, 255, 0), (0, 255, 0)),
+               (4, (0, 255, 0), (0, 255, 255)), (11, (0, 255, 255), (0, 0, 255)),
+               (13, (0, 0, 255), (255, 0, 255)), (6, (255, 0, 255), (255, 0, 0))]
+    wheel = []
+    for n, c0, c1 in sectors:
+        for i in range(n):
+            t = i / n
+            wheel.append([c0[j] * (1 - t) + c1[j] * t for j in range(3)])
+    wheel = np.asarray(wheel, np.float32)  # [55,3]
+    ncols = len(wheel)
+
+    u, v = flow[..., 0], flow[..., 1]
+    rad = np.sqrt(u * u + v * v)
+    rad_max = max(rad.max(), 1e-5)
+    u, v, rad = u / rad_max, v / rad_max, rad / rad_max
+    a = np.arctan2(-v, -u) / np.pi  # [-1,1]
+    fk = (a + 1) / 2 * (ncols - 1)
+    k0 = np.floor(fk).astype(np.int32)
+    k1 = (k0 + 1) % ncols
+    f = (fk - k0)[..., None]
+    col = wheel[k0] * (1 - f) + wheel[k1] * f  # [H,W,3] in 0..255
+    col = col / 255.0
+    # saturate toward white for small motion
+    col = 1 - rad[..., None] * (1 - col)
+    return (col * 255).astype(np.uint8)

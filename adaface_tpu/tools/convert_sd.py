@@ -364,3 +364,30 @@ def convert_vae_diffusers(sd: Mapping[str, np.ndarray],
         "quant_conv": _conv(sd, "quant_conv"),
         "post_quant_conv": _conv(sd, "post_quant_conv"),
     }
+
+
+def load_sd_towers(path: str) -> dict:
+    """Load an SD1.5 checkpoint from disk and convert every tower present.
+
+    Accepts the LDM single-file layout (`v1-5-pruned.ckpt` — the format the
+    reference's `scripts/ckpt_lib.py` surgeries operate on and
+    `load_model_from_config` consumes, `ldm/util.py:130`) or a bare
+    diffusers UNet state dict. Returns a dict with whichever of
+    `unet` / `vae` / `text_encoder` (+ `text_cfg`) the file contains.
+    """
+    from adaface_tpu.tools.ckpt_lib import extract_subtree, load_state_dict
+    from adaface_tpu.tools.convert_clip import convert_text_model
+    from adaface_tpu.tools.convert_ldm_unet import convert_ldm_unet
+
+    sd = load_state_dict(path)
+    out: dict = {}
+    if any(k.startswith("model.diffusion_model.") for k in sd):
+        out["unet"] = convert_ldm_unet(sd)
+        if any(k.startswith("first_stage_model.") for k in sd):
+            out["vae"] = convert_vae_ldm(extract_subtree(sd, "first_stage_model."))
+        if any(k.startswith("cond_stage_model.transformer.") for k in sd):
+            te = extract_subtree(sd, "cond_stage_model.transformer.")
+            out["text_encoder"], out["text_cfg"] = convert_text_model(te)
+    else:
+        out["unet"] = convert_unet(sd)
+    return out

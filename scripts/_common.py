@@ -53,22 +53,13 @@ def build_wrapper(args, pipeline_name: str = "text2img"):
 
 
 def _load_base_model(modules, path: str):
-    from adaface_tpu.tools.ckpt_lib import extract_subtree, load_state_dict
-    from adaface_tpu.tools.convert_clip import convert_text_model
-    from adaface_tpu.tools.convert_sd import convert_unet, convert_vae_ldm
+    from adaface_tpu.tools.convert_sd import load_sd_towers
 
-    from adaface_tpu.tools.convert_ldm_unet import convert_ldm_unet
-
-    sd = load_state_dict(path)
-    if any(k.startswith("model.diffusion_model.") for k in sd):
-        # LDM single-file layout: convert all three towers
-        modules.vae = convert_vae_ldm(sd)
-        te = extract_subtree(sd, "cond_stage_model.transformer.")
-        modules.text_encoder, modules.text_cfg = convert_text_model(te)
-        modules.unet = convert_ldm_unet(sd)
-    else:
-        modules.unet = convert_unet(sd)
-    print(f"loaded base model weights from {path}")
+    towers = load_sd_towers(path)
+    for name in ("unet", "vae", "text_encoder", "text_cfg"):
+        if name in towers:
+            setattr(modules, name, towers[name])
+    print(f"loaded base model weights from {path}: {sorted(towers)}")
 
 
 def _load_adaface(encoder, ckpt_dir: str):

@@ -39,7 +39,25 @@ def main():
     ap.add_argument("--scores_csv", default=None)
     # dual guidance scale interpolation (eval protocol: 4 → 1)
     ap.add_argument("--guidance_scale_min", type=float, default=None)
+    ap.add_argument("--config", default=None,
+                    help="inference YAML (configs/inference.yaml) supplying "
+                         "scheduler/steps/guidance defaults")
     args = ap.parse_args()
+
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            icfg = yaml.safe_load(f) or {}
+        pipe_cfg = icfg.get("pipeline", {})
+        for yaml_key, attr in (("num_inference_steps", "num_inference_steps"),
+                               ("guidance_scale", "guidance_scale"),
+                               ("guidance_scale_min", "guidance_scale_min"),
+                               ("image_size", "size")):
+            if pipe_cfg.get(yaml_key) is not None:
+                setattr(args, attr, pipe_cfg[yaml_key])
+        if icfg.get("model", {}).get("id2ada_encoder"):
+            args.encoder = icfg["model"]["id2ada_encoder"]
 
     from adaface_tpu.evaluation.eval_utils import append_score_row, parse_range_str
     from adaface_tpu.evaluation.prompt_sets import PROMPT_SETS

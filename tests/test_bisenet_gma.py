@@ -77,3 +77,24 @@ def test_est_flow_from_feats():
     flow = est_flow_from_feats(p, proj, f1, f2, 8, 8, num_iters=2)
     assert flow.shape == (1, 2, 8, 8)
     assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_flow_to_image():
+    """Middlebury colorization: zero flow → white; distinct directions →
+    distinct hues; output dtype/shape contract."""
+    import numpy as np
+
+    from adaface_tpu.models.gma import flow_to_image
+
+    h = w = 8
+    flow = np.zeros((h, w, 2), np.float32)
+    img = flow_to_image(flow)
+    assert img.shape == (h, w, 3) and img.dtype == np.uint8
+    assert (img > 240).all()  # zero motion saturates to white
+
+    flow = np.zeros((2, 2, 2), np.float32)
+    flow[0, 0] = (5, 0); flow[0, 1] = (-5, 0)
+    flow[1, 0] = (0, 5); flow[1, 1] = (0, -5)
+    img = flow_to_image(flow)
+    cols = {tuple(img[i, j]) for i in range(2) for j in range(2)}
+    assert len(cols) == 4  # four directions, four hues

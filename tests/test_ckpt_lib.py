@@ -82,3 +82,28 @@ def test_torch_ckpt_loading(tmp_path):
     torch.save({"state_dict": {"a.w": torch.arange(4.0)}}, p)
     sd = load_state_dict(p)
     np.testing.assert_allclose(sd["a.w"], [0, 1, 2, 3])
+
+
+def test_load_sd_towers_diffusers_unet(tmp_path):
+    """`load_sd_towers` on a bare diffusers UNet state dict (train.py
+    --base_model / scripts --base_model path)."""
+    import jax
+
+    from adaface_tpu.models.unet import UNetConfig, init_unet_params
+    from adaface_tpu.tools.ckpt_lib import save_state_dict
+    from adaface_tpu.tools.convert_sd import export_unet_to_diffusers, load_sd_towers
+
+    cfg = UNetConfig(block_channels=(32, 64, 64, 64), cross_attn_dim=48,
+                     num_heads=4, norm_groups=8)
+    params = init_unet_params(jax.random.PRNGKey(0), cfg)
+    sd = export_unet_to_diffusers(params, cfg)
+    path = str(tmp_path / "unet.npz")
+    save_state_dict({k: np.asarray(v) for k, v in sd.items()}, path)
+    import adaface_tpu.tools.convert_sd as m
+    orig = m.SD15_UNET
+    try:
+        m.SD15_UNET = cfg  # default arg resolution happens at call time inside convert_unet
+        towers = load_sd_towers(path)
+    finally:
+        m.SD15_UNET = orig
+    assert set(towers) == {"unet"}

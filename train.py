@@ -64,8 +64,17 @@ def build_and_train(cfg: dict, args):
             cfg.get("model", {}).get("id2ada_encoder", "arc2face"),
             jax.random.fold_in(rng, 4), is_training=True)
 
-    # TODO(weights): load converted SD1.5/arc2face checkpoints here via
-    # adaface_tpu.tools.convert_sd / convert_clip when available on disk.
+    if args.base_model:
+        # load converted SD1.5 towers (LDM single-file or diffusers UNet);
+        # mirrors the reference's `load_model_from_config` (`ldm/util.py:130`)
+        from adaface_tpu.tools.convert_sd import load_sd_towers
+
+        towers = load_sd_towers(args.base_model)
+        unet = towers.get("unet", unet)
+        vae = towers.get("vae", vae)
+        text = towers.get("text_encoder", text)
+        print(f"loaded base model weights from {args.base_model}: "
+              f"{sorted(towers)}")
 
     tok = default_tokenizer()
     # placeholder width follows the encoder (16 arc2face / 4 consistentID /
@@ -130,6 +139,9 @@ def build_and_train(cfg: dict, args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", required=True, help="YAML config path")
+    ap.add_argument("--base_model", default=None,
+                    help="SD1.5 checkpoint (.safetensors/.ckpt); random "
+                         "weights if omitted")
     ap.add_argument("--data_roots", nargs="+", required=True)
     ap.add_argument("--log_dir", default="logs/run")
     ap.add_argument("--max_steps", type=int, default=None)
