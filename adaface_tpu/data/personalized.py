@@ -61,12 +61,16 @@ class Subject:
     caption_paths: list[str | None] = field(default_factory=list)
     cls_delta_string: str = "person"
     is_face: bool = True
+    # True for FFHQ-style folders where every image is a different person
+    # (`mix_subj_data_roots`, reference `personalized.py:130-168`)
+    is_mix: bool = False
 
 
 class PersonalizedBase:
     def __init__(
         self,
         data_roots: str | list[str],
+        mix_subj_data_roots: str | list[str] | None = None,
         subject_string: str = "z",
         num_vectors_per_subj_token: int = 16,
         size: int = 512,
@@ -78,6 +82,9 @@ class PersonalizedBase:
         rand_scale_p: float = 1.0,
         seed: int | None = None,
         use_native: bool = True,
+        # cap images per (non-mix) subject to speed loading
+        # (reference `personalized.py:208-210`); 0 disables
+        max_num_images_per_subject: int = 100,
     ):
         if isinstance(data_roots, str):
             data_roots = [data_roots]
@@ -91,10 +98,16 @@ class PersonalizedBase:
         self.rand_scale_p = rand_scale_p
         self.use_native = use_native
         self.rng = np.random.RandomState(seed)
+        self.max_num_images_per_subject = max_num_images_per_subject
 
         self.subjects: list[Subject] = []
         for root in data_roots:
             self._scan_root(root, default_cls_delta_string)
+        if mix_subj_data_roots:
+            if isinstance(mix_subj_data_roots, str):
+                mix_subj_data_roots = [mix_subj_data_roots]
+            for root in mix_subj_data_roots:
+                self._scan_mix_root(root, default_cls_delta_string)
         self.subject_names = [s.name for s in self.subjects]
         self.subjects_are_faces = [s.is_face for s in self.subjects]
         self._flat_index = [
@@ -134,8 +147,36 @@ class PersonalizedBase:
                 subj.image_paths.append(path)
                 subj.mask_paths.append(mask if os.path.exists(mask) else None)
                 subj.caption_paths.append(cap if os.path.exists(cap) else None)
+            cap = self.max_num_images_per_subject
+            if cap > 0 and len(subj.image_paths) > cap:
+                subj.image_paths = subj.image_paths[:cap]
+                subj.mask_paths = subj.mask_paths[:cap]
+                subj.caption_paths = subj.caption_paths[:cap]
             if subj.image_paths:
                 self.subjects.append(subj)
+
+    def _scan_mix_root(self, root: str, default_cls: str):
+        """FFHQ-style mixed-subject folder: one Subject entry holding many
+        different people, one image each (reference `personalized.py:161-228`:
+        the folder is a single subj_root with `is_mix_subj=True`; filenames
+        are not sorted since such folders may hold 100k+ images)."""
+        subj = Subject(name=os.path.basename(os.path.normpath(root)),
+                       folder=root, cls_delta_string=default_cls, is_mix=True)
+        names = os.listdir(root)
+        name_set = set(names)
+        for fn in names:
+            stem, ext = os.path.splitext(fn)
+            if ext.lower() not in IMG_EXTS or stem.endswith("_mask"):
+                continue
+            subj.image_paths.append(os.path.join(root, fn))
+            mask = stem + "_mask.png"
+            subj.mask_paths.append(
+                os.path.join(root, mask) if mask in name_set else None)
+            cap = stem + ".txt"
+            subj.caption_paths.append(
+                os.path.join(root, cap) if cap in name_set else None)
+        if subj.image_paths:
+            self.subjects.append(subj)
 
     # ------------------------------------------------------------------ api
     def __len__(self):
@@ -249,6 +290,7 @@ class PersonalizedBase:
             "caption": caption,
             "subject_idx": si,
             "is_face": subj.is_face,
+            "is_in_mix_subj_folder": subj.is_mix,
         }
         self.generate_prompts(example, si)
         return example

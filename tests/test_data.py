@@ -105,3 +105,38 @@ def test_collate(dataset_dir):
     batch = collate_batch([ds[0], ds[1]])
     assert batch["image"].shape == (2, 64, 64, 3)
     assert len(batch["subj_single_prompt"]) == 2
+
+
+def test_mix_subj_data_roots(tmp_path):
+    """FFHQ-style mixed folder: one Subject entry, is_mix flag propagated
+    to examples (reference `personalized.py:130-168,529-534`)."""
+    import numpy as np
+    from PIL import Image
+
+    from adaface_tpu.data.personalized import PersonalizedBase
+
+    subj_root = tmp_path / "subjects" / "alice"
+    subj_root.mkdir(parents=True)
+    mix_root = tmp_path / "ffhq"
+    mix_root.mkdir()
+    rng = np.random.default_rng(0)
+    for d, n in ((subj_root, 2), (mix_root, 3)):
+        for i in range(n):
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+                d / f"{i:05d}.png")
+    Image.fromarray((np.ones((64, 64), np.uint8)) * 255).save(
+        mix_root / "00000_mask.png")
+
+    ds = PersonalizedBase(
+        [str(tmp_path / "subjects")], mix_subj_data_roots=str(mix_root),
+        size=64, seed=0, use_native=False)
+    assert ds.num_subjects() == 2
+    mix = [s for s in ds.subjects if s.is_mix]
+    assert len(mix) == 1 and len(mix[0].image_paths) == 3
+    assert mix[0].mask_paths.count(None) == 2  # only 00000 has a mask
+
+    ex_single = ds[(0, 0)]
+    ex_mix = ds[(1, 0)]
+    assert ex_single["is_in_mix_subj_folder"] is False
+    assert ex_mix["is_in_mix_subj_folder"] is True

@@ -116,7 +116,8 @@ def build_and_train(cfg: dict, args):
 
     train_cfg = TrainConfig(sbg=sbg_cfg)
     dataset = PersonalizedBase(
-        trainer_cfg.data_roots, subject_string="z",
+        trainer_cfg.data_roots, mix_subj_data_roots=args.mix_subj_data_roots,
+        subject_string="z",
         num_vectors_per_subj_token=n_vec, size=trainer_cfg.image_size,
         seed=trainer_cfg.seed)
     print(f"{dataset.num_subjects()} subjects, {len(dataset)} images")
@@ -143,6 +144,9 @@ def main():
                     help="SD1.5 checkpoint (.safetensors/.ckpt); random "
                          "weights if omitted")
     ap.add_argument("--data_roots", nargs="+", required=True)
+    ap.add_argument("--mix_subj_data_roots", nargs="+", default=None,
+                    help="FFHQ-style folders where every image is a "
+                         "different person (reference --mix_subj_data_roots)")
     ap.add_argument("--log_dir", default="logs/run")
     ap.add_argument("--max_steps", type=int, default=None)
     ap.add_argument("--scale_lr", action="store_true",
