@@ -306,23 +306,51 @@ class Trainer:
                 self.save(step + 1)
         return metrics
 
-    def load(self, ckpt_dir: str) -> int:
+    def load(self, ckpt_dir: str, extend_mkv_multiplier: int = 1) -> int:
         """Warm-start trainable params from an adaface checkpoint
         (`--adaface_ckpt_paths` / `-r` resume semantics, `main.py:547-565`;
-        optimizer state deliberately restarts, `README.md:72`). → saved step."""
+        optimizer state deliberately restarts, `README.md:72`). → saved step.
+
+        extend_mkv_multiplier > 1 replicates the loaded prompt2token_proj
+        K/V projections (round-2 recipe
+        `--extend_prompt2token_proj_attention_multiplier`, `README.md:72`);
+        the multiplier stays implicit in the k/v shapes."""
         from adaface_tpu.train.checkpoint import load_adaface_ckpt
 
         state, manifest = load_adaface_ckpt(ckpt_dir)
         sbgs = state.get("subj_basis_generators", {})
         if sbgs and "sbg" in self.state.params:
             name = next(iter(sbgs))
-            self.state.params["sbg"] = jax.tree_util.tree_map(
-                jnp.asarray, sbgs[name])
+            loaded = jax.tree_util.tree_map(jnp.asarray, sbgs[name])
+            if extend_mkv_multiplier > 1:
+                from adaface_tpu.models.clip import extend_mkv
+
+                def _extend(sbg_params, rng):
+                    proj = dict(sbg_params["prompt2token_proj"])
+                    mults = [extend_mkv_multiplier] * len(proj["layers"])
+                    ext = extend_mkv({"layers": proj["layers"]}, rng, mults)
+                    proj["layers"] = ext["layers"]
+                    out = dict(sbg_params)
+                    out["prompt2token_proj"] = proj
+                    return out
+
+                rng = jax.random.PRNGKey(0)
+                if isinstance(loaded, list):  # joint: one SBG per encoder
+                    loaded = [_extend(p, jax.random.fold_in(rng, i))
+                              for i, p in enumerate(loaded)]
+                else:
+                    loaded = _extend(loaded, rng)
+                print(f"extended prompt2token_proj MKV attention "
+                      f"x{extend_mkv_multiplier}")
+            self.state.params["sbg"] = loaded
         lora = state.get("unet_lora_modules") or {}
         for k in ("attn_lora", "ffn_lora"):
             if k in lora and k in self.state.params:
                 self.state.params[k] = jax.tree_util.tree_map(
                     jnp.asarray, lora[k])
+        # param shapes may have changed (MKV extension) and the optimizer
+        # restart is deliberate — rebuild optimizer state for the new tree
+        self.state = init_state(self.state.params, self.optimizer)
         step = int(manifest.get("step", 0))
         print(f"warm-started from {ckpt_dir} (step {step})")
         return step

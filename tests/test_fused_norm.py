@@ -64,7 +64,7 @@ def test_pallas_kernel_interpret_matches():
 
 def test_sync_bn_psum():
     """Sync-BN over an 8-device axis equals global BN over the full batch."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     devs = np.asarray(jax.devices()[:8])

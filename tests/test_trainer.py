@@ -171,3 +171,46 @@ def test_trainer_unfreeze_unet(toy_dataset, tmp_path):
     assert not np.allclose(before, after)  # UNet actually updated
     ck = Trainer.latest_ckpt(cfg.log_dir)
     assert os.path.exists(os.path.join(ck, "unet_fp16.safetensors"))
+
+
+def test_trainer_load_extend_mkv(toy_dataset, tmp_path):
+    """Round-2 warm start: `--extend_prompt2token_proj_attention_multiplier`
+    replicates prompt2token_proj K/V shapes 2x on load (`README.md:72`), the
+    optimizer state is rebuilt for the new tree, and training still steps."""
+    rng = jax.random.PRNGKey(0)
+    tok = CLIPTokenizer.character_fallback()
+    k_id = 16
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", k_id)])
+    encoder = Arc2FaceID2AdaPrompt(
+        jax.random.fold_in(rng, 1),
+        face_backend=DeterministicBackend(),
+        clip_vision_cfg=SMALL_VISION, sbg_clip_cfg=SMALL_CLIP,
+        text_cfg=SMALL_CLIP, output_dim=D, is_training=True)
+    unet = init_unet_params(jax.random.fold_in(rng, 3), UNET_CFG)
+    text = init_text_params(jax.random.fold_in(rng, 4), SMALL_CLIP)
+    frozen = {"unet": unet, "text_encoder": text,
+              "sbg_buffers": encoder.subj_basis_generator["buffers"]}
+    trainable = {"sbg": encoder.subj_basis_generator["params"]}
+    cfg = TrainerConfig(
+        log_dir=str(tmp_path / "logs"), batch_size=2, max_steps=2,
+        accum_steps=1, ckpt_every=2, optimizer="adamw", lr=1e-4,
+        warmup_steps=1, comp_distill_iter_gap=0, unet_distill_iter_gap=0,
+        image_size=128, num_vectors_per_subj_token=k_id)
+    train_cfg = TrainConfig(unet=UNET_CFG, sbg=encoder.sbg_cfg,
+                            clip_text=SMALL_CLIP)
+    trainer = Trainer(cfg, train_cfg, frozen, trainable, encoder, em,
+                      vae_params=None)
+    ds = PersonalizedBase(toy_dataset, num_vectors_per_subj_token=k_id,
+                          size=128, seed=0)
+    trainer.fit(ds, num_steps=2)
+    ck = Trainer.latest_ckpt(cfg.log_dir)
+
+    def kv_dim(params):
+        return params["sbg"]["prompt2token_proj"]["layers"][0]["attn"]["k"][
+            "w"].shape[-1]
+
+    base = kv_dim(trainer.state.params)
+    assert trainer.load(ck, extend_mkv_multiplier=2) == 2
+    assert kv_dim(trainer.state.params) == 2 * base
+    metrics = trainer.fit(ds, num_steps=2)
+    assert np.isfinite(float(metrics["loss"]))

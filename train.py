@@ -131,9 +131,10 @@ def build_and_train(cfg: dict, args):
         if ck is None:
             print(f"no checkpoint under {args.log_dir}, starting fresh")
         else:
-            trainer.load(ck)
+            trainer.load(ck, extend_mkv_multiplier=args.extend_mkv_multiplier)
     elif args.adaface_ckpt_path:
-        trainer.load(args.adaface_ckpt_path)
+        trainer.load(args.adaface_ckpt_path,
+                     extend_mkv_multiplier=args.extend_mkv_multiplier)
     trainer.fit(dataset, num_steps=args.max_steps or trainer_cfg.max_steps)
 
 
@@ -155,6 +156,11 @@ def main():
                     help="resume from the newest checkpoint in --log_dir")
     ap.add_argument("--adaface_ckpt_path", default=None,
                     help="warm-start trainable params from this checkpoint")
+    ap.add_argument("--extend_mkv_multiplier",
+                    "--extend_prompt2token_proj_attention_multiplier",
+                    type=int, default=1, dest="extend_mkv_multiplier",
+                    help="replicate prompt2token_proj K/V projections Nx on "
+                         "warm start (round-2 training recipe)")
     ap.add_argument("overrides", nargs="*", help="dot.key=value overrides")
     args = ap.parse_args()
 
