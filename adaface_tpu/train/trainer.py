@@ -64,6 +64,14 @@ class TrainerConfig:
     seed: int = 0
     dp: int | None = None
     profile: bool = False
+    # unet-distill iteration randomization (`ddpm.py:1131-1263`):
+    # p_gen_rand_id_for_id2img — distill on a randomly drawn identity
+    # instead of the batch faces; p_perturb_face_id_embs — repeat the first
+    # instance across the batch and noise img-prompt embs [1:] (contrastive
+    # neighbors of the subject embedding)
+    p_gen_rand_id_for_id2img: float = 0.0
+    p_perturb_face_id_embs: float = 0.2
+    perturb_face_id_embs_std_range: tuple = (0.3, 0.6)
     sample_every: int = 0  # decode + log recon previews every N steps
     # full-UNet finetuning (`v1-finetune-unet.yaml` / unfreeze_model=true):
     # the UNet moves into the trainable set and ckpts export it as fp16
@@ -164,13 +172,46 @@ class Trainer:
             x_start = jax.random.normal(
                 jax.random.fold_in(rng, 1), (b, 4, hw, hw))
 
+        # unet-distill randomization draws (`ddpm.py:1131-1263`)
+        rs_iter = np.random.RandomState(flags.seed ^ 0x5EED)
+        is_distill = flags.iter_type == "unet_distill"
+        gen_rand_id = (is_distill
+                       and rs_iter.rand() < self.cfg.p_gen_rand_id_for_id2img)
+        perturb_ids = (is_distill and not gen_rand_id
+                       and rs_iter.rand() < self.cfg.p_perturb_face_id_embs)
+
         # face-ID → teacher image-prompt embeddings (host + frozen towers)
-        uint8_imgs = ((images + 1) * 127.5).clip(0, 255).astype(np.uint8)
-        _, id_embs, clip_feats = self.encoder.extract_init_id_embeds_from_images(
-            list(uint8_imgs), skip_non_faces=False)
-        self.face_stats.update("face_detected", 1.0)
+        if gen_rand_id:
+            # distill on a random identity: the encoder draws gaussian
+            # face-ID embeddings; x_start unties from the batch images
+            # (`ddpm.py:1133-1180` gen_rand_id → init x_start from noise)
+            id_embs = clip_feats = None
+            x_start = jax.random.normal(jax.random.fold_in(rng, 7),
+                                        x_start.shape)
+        else:
+            uint8_imgs = ((images + 1) * 127.5).clip(0, 255).astype(np.uint8)
+            _, id_embs, clip_feats = self.encoder.extract_init_id_embeds_from_images(
+                list(uint8_imgs), skip_non_faces=False)
+            self.face_stats.update("face_detected", 1.0)
         _, _, img_prompt_embs, _ = self.encoder.get_batched_img_prompt_embs(
             b, id_embs, clip_feats, rng=jax.random.fold_in(rng, 2))
+
+        if perturb_ids and b > 1:
+            # same-subject batch + noised img-prompt embs [1:]
+            # (`select_and_repeat_instances` + `anneal_perturb_embedding`,
+            # `ddpm.py:1222-1263`)
+            from adaface_tpu.utils.tensor import anneal_perturb_embedding
+
+            x_start = jnp.repeat(x_start[:1], b, axis=0)
+            for key in ("image", "fg_mask", "aug_mask"):
+                batch[key] = np.repeat(batch[key][:1], b, axis=0)
+            img_prompt_embs = jnp.asarray(img_prompt_embs)
+            rest = anneal_perturb_embedding(
+                jax.random.fold_in(rng, 6), jnp.repeat(img_prompt_embs[:1], b - 1, 0),
+                training_percent=0.0,
+                begin_std_range=tuple(self.cfg.perturb_face_id_embs_std_range),
+                end_std_range=None, perturb_prob=1.0, keep_norm=True)
+            img_prompt_embs = jnp.concatenate([img_prompt_embs[:1], rest], axis=0)
 
         pb = build_4block_prompt_batch(
             self.em,

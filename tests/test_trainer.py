@@ -214,3 +214,42 @@ def test_trainer_load_extend_mkv(toy_dataset, tmp_path):
     assert kv_dim(trainer.state.params) == 2 * base
     metrics = trainer.fit(ds, num_steps=2)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_trainer_unet_distill_randomization(toy_dataset, tmp_path):
+    """unet-distill iteration randomization (`ddpm.py:1131-1263`): with
+    p_perturb_face_id_embs=1 the batch becomes same-subject with noised
+    img-prompt embs; with p_gen_rand_id_for_id2img=1 identities are drawn
+    at random. Both must train with finite loss."""
+    rng = jax.random.PRNGKey(0)
+    tok = CLIPTokenizer.character_fallback()
+    k_id = 16
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", k_id)])
+    encoder = Arc2FaceID2AdaPrompt(
+        jax.random.fold_in(rng, 1),
+        face_backend=DeterministicBackend(),
+        clip_vision_cfg=SMALL_VISION, sbg_clip_cfg=SMALL_CLIP,
+        text_cfg=SMALL_CLIP, output_dim=D, is_training=True)
+    unet = init_unet_params(jax.random.fold_in(rng, 3), UNET_CFG)
+    text = init_text_params(jax.random.fold_in(rng, 4), SMALL_CLIP)
+    frozen = {"unet": unet, "text_encoder": text,
+              "sbg_buffers": encoder.subj_basis_generator["buffers"]}
+    trainable = {"sbg": encoder.subj_basis_generator["params"]}
+    train_cfg = TrainConfig(unet=UNET_CFG, sbg=encoder.sbg_cfg,
+                            clip_text=SMALL_CLIP)
+    teacher = UNetTeacher(unet_params=unet, unet_cfg=UNET_CFG)
+    ds = PersonalizedBase(toy_dataset, num_vectors_per_subj_token=k_id,
+                          size=128, seed=0)
+
+    for kw in ({"p_perturb_face_id_embs": 1.0},
+               {"p_gen_rand_id_for_id2img": 1.0}):
+        cfg = TrainerConfig(
+            log_dir=str(tmp_path / "logs"), batch_size=2, max_steps=2,
+            accum_steps=1, ckpt_every=99, optimizer="adamw", lr=1e-4,
+            warmup_steps=1, comp_distill_iter_gap=0, unet_distill_iter_gap=1,
+            image_size=128, num_vectors_per_subj_token=k_id, **kw)
+        trainer = Trainer(cfg, train_cfg, frozen, trainable, encoder, em,
+                          vae_params=None, teacher=teacher)
+        metrics = trainer.fit(ds, num_steps=2)
+        assert np.isfinite(float(metrics["loss"])), kw
+        assert trainer.planner.unet_distill_iters >= 1

@@ -60,9 +60,21 @@ def build_and_train(cfg: dict, args):
         unet = init_unet_params(jax.random.fold_in(rng, 1), SD15_UNET)
         text = init_text_params(jax.random.fold_in(rng, 2))
         vae = init_vae_params(jax.random.fold_in(rng, 3))
+        model_cfg = cfg.get("model", {})
+        enc_name = model_cfg.get("id2ada_encoder", "arc2face")
+        enc_kw = {}
+        scales = model_cfg.get("out_id_embs_cfg_scales")
+        if scales:
+            if enc_name in ("jointIDs", "joint"):
+                enc_kw["out_id_embs_cfg_scales"] = tuple(scales)
+            else:
+                enc_kw["out_id_embs_cfg_scale"] = scales[0]
+        if model_cfg.get("enable_static_img_suffix_embs"):
+            # 4 learnable suffix embeddings (`subj_basis_generator.py:371-562`)
+            enc_kw["num_static_img_suffix_embs"] = int(
+                model_cfg.get("num_static_img_suffix_embs", 4))
         encoder = create_id2ada_prompt_encoder(
-            cfg.get("model", {}).get("id2ada_encoder", "arc2face"),
-            jax.random.fold_in(rng, 4), is_training=True)
+            enc_name, jax.random.fold_in(rng, 4), is_training=True, **enc_kw)
 
     if args.base_model:
         # load converted SD1.5 towers (LDM single-file or diffusers UNet);
@@ -84,7 +96,7 @@ def build_and_train(cfg: dict, args):
     if trainer_cfg.num_vectors_per_subj_token != n_vec:
         print(f"num_vectors_per_subj_token {trainer_cfg.num_vectors_per_subj_token}"
               f" -> {n_vec} (encoder {encoder.name})")
-    em = EmbeddingManager(tok, [PlaceholderSpec("z", n_vec)])
+    em = EmbeddingManager(tok, [PlaceholderSpec(args.subject_string, n_vec)])
 
     encs = encoder.encoders if hasattr(encoder, "encoders") else [encoder]
     enc0 = encs[0]
@@ -102,6 +114,14 @@ def build_and_train(cfg: dict, args):
         trainable = {"sbg": [e.subj_basis_generator["params"] for e in encs]}
         sbg_cfg = tuple(e.sbg_cfg for e in encs)
 
+    if args.comp_unet_weight_path:
+        # separate UNet weights for comp-distill iterations, hot-swapped on
+        # iteration-type switch (`ddpm.py:472-483`; e.g. SAR/RealisticVision)
+        from adaface_tpu.tools.convert_sd import load_sd_towers
+
+        frozen["comp_unet"] = load_sd_towers(args.comp_unet_weight_path)["unet"]
+        print(f"loaded comp-distill UNet from {args.comp_unet_weight_path}")
+
     teacher = None
     if cfg.get("teacher"):
         teacher = create_unet_teacher(
@@ -114,10 +134,20 @@ def build_and_train(cfg: dict, args):
         k: v for k, v in cfg.get("comp_distill", {}).items()
         if k in comp_fields})
 
-    train_cfg = TrainConfig(sbg=sbg_cfg)
+    # wire the YAML `model:` loss weights / skip weights into TrainConfig
+    # (the reference funnels these via `instantiate_from_config` into the
+    # LatentDiffusion ctor, `main.py:609-613` + `ddpm.py:507`)
+    tf_fields = {f.name for f in dataclasses.fields(TrainConfig)}
+    model_overrides = {
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in cfg.get("model", {}).items() if k in tf_fields}
+    train_cfg = TrainConfig(sbg=sbg_cfg, **model_overrides)
+    if model_overrides:
+        print(f"model config overrides: {sorted(model_overrides)}")
     dataset = PersonalizedBase(
         trainer_cfg.data_roots, mix_subj_data_roots=args.mix_subj_data_roots,
-        subject_string="z",
+        subject_string=args.subject_string,
+        default_cls_delta_string=args.default_cls_delta_string,
         num_vectors_per_subj_token=n_vec, size=trainer_cfg.image_size,
         seed=trainer_cfg.seed)
     print(f"{dataset.num_subjects()} subjects, {len(dataset)} images")
@@ -148,6 +178,15 @@ def main():
     ap.add_argument("--mix_subj_data_roots", nargs="+", default=None,
                     help="FFHQ-style folders where every image is a "
                          "different person (reference --mix_subj_data_roots)")
+    ap.add_argument("--comp_unet_weight_path", default=None,
+                    help="UNet checkpoint used during comp-distill "
+                         "iterations (hot-swapped; reference "
+                         "--comp_unet_weight_path)")
+    ap.add_argument("--subject_string", default="z",
+                    help="subject placeholder token (reference --subject_string)")
+    ap.add_argument("--default_cls_delta_string", default="person",
+                    help="class word standing in for the subject in class "
+                         "prompts when metainfo.json gives none")
     ap.add_argument("--log_dir", default="logs/run")
     ap.add_argument("--max_steps", type=int, default=None)
     ap.add_argument("--scale_lr", action="store_true",
