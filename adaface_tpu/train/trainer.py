@@ -72,6 +72,9 @@ class TrainerConfig:
     p_gen_rand_id_for_id2img: float = 0.0
     p_perturb_face_id_embs: float = 0.2
     perturb_face_id_embs_std_range: tuple = (0.3, 0.6)
+    # teacher multi-step bucket range; stage 2 caps at 3
+    # (`--max_num_unet_distill_denoising_steps`, `README.md:80-83`)
+    unet_distill_steps_range: tuple = (2, 4)
     sample_every: int = 0  # decode + log recon previews every N steps
     # full-UNet finetuning (`v1-finetune-unet.yaml` / unfreeze_model=true):
     # the UNet moves into the trainable set and ckpts export it as fp16
@@ -108,6 +111,7 @@ class Trainer:
             comp_distill_iter_gap=cfg.comp_distill_iter_gap,
             unet_distill_iter_gap=cfg.unet_distill_iter_gap,
             has_comp_unet_weights="comp_unet" in frozen,
+            unet_distill_steps_range=tuple(cfg.unet_distill_steps_range),
         )
         if cfg.unfreeze_unet and "unet" in frozen:
             # same buffers appear in both trees: the loss fns prefer

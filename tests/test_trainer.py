@@ -253,3 +253,14 @@ def test_trainer_unet_distill_randomization(toy_dataset, tmp_path):
         metrics = trainer.fit(ds, num_steps=2)
         assert np.isfinite(float(metrics["loss"])), kw
         assert trainer.planner.unet_distill_iters >= 1
+
+
+def test_iteration_planner_distill_steps_range():
+    """unet-distill step counts stay inside the configured bucket range
+    (`--max_num_unet_distill_denoising_steps`)."""
+    p = IterationPlanner(unet_distill_iter_gap=1,
+                         unet_distill_steps_range=(2, 3))
+    steps = [p.plan(i).num_denoising_steps for i in range(40)
+             if p.plan(i).iter_type == "unet_distill"]
+    assert steps and all(2 <= s <= 3 for s in steps)
+    assert {2, 3} == set(steps)  # both buckets exercised
