@@ -75,7 +75,7 @@ class ProdigyState(NamedTuple):
 
 
 def prodigy(
-    lr: float = 1.0,
+    lr=1.0,
     betas=(0.9, 0.999),
     beta3: float | None = None,
     eps: float = 1e-8,
@@ -104,7 +104,12 @@ def prodigy(
 
     def update(grads, state, params):
         d, step = state.d, state.step + 1
-        dlr = d * lr
+        # lr may be an optax schedule (Prodigy cyclic schedules,
+        # `ddpm.py:3945-4003`); the scheduled factor scales dlr everywhere,
+        # including the d-estimation statistics, matching torch where the
+        # scheduler mutates the param-group lr that Prodigy reads.
+        lr_t = lr(state.step) if callable(lr) else lr
+        dlr = d * lr_t
 
         # numerator += (d / d0) * dlr * <g, p0 - p>
         dot = sum(
@@ -172,18 +177,21 @@ def _newton_schulz(g: jax.Array, steps: int = 5, eps: float = 1e-7) -> jax.Array
 class MuonState(NamedTuple):
     momentum: optax.Updates
     adam: optax.OptState
+    step: jax.Array
 
 
 def muon(
-    lr: float = 0.02,
+    lr=0.02,
     momentum: float = 0.95,
     nesterov: bool = True,
-    adam_lr: float = 3e-4,
+    adam_lr=3e-4,
     adam_b1: float = 0.9,
     adam_b2: float = 0.95,
     matrix_lr_mult: float = 1.0,
 ) -> optax.GradientTransformation:
-    """Muon for ≥2-D weight matrices; AdamW for everything else."""
+    """Muon for ≥2-D weight matrices; AdamW for everything else.
+    `lr`/`adam_lr` may be optax schedules (the reference reuses the AdamW
+    LambdaLR warmup-cosine for Muon, `ddpm.py:3926-3931`)."""
     aux = optax.adam(adam_lr, b1=adam_b1, b2=adam_b2)
 
     def is_matrix(x):
@@ -194,9 +202,11 @@ def muon(
             lambda p: jnp.zeros_like(p) if is_matrix(p) else None, params)
         aux_params = jax.tree_util.tree_map(
             lambda p: p if not is_matrix(p) else jnp.zeros((), p.dtype), params)
-        return MuonState(momentum=mom, adam=aux.init(aux_params))
+        return MuonState(momentum=mom, adam=aux.init(aux_params),
+                         step=jnp.zeros((), jnp.int32))
 
     def update(grads, state, params=None):
+        lr_t = lr(state.step) if callable(lr) else lr
         new_mom = jax.tree_util.tree_map(
             lambda m, g: m * momentum + g if m is not None else None,
             state.momentum, grads, is_leaf=lambda x: x is None,
@@ -209,7 +219,7 @@ def muon(
             mat = eff.reshape(eff.shape[0], -1)
             o = _newton_schulz(mat).reshape(eff.shape)
             scale = max(1.0, eff.shape[0] / max(mat.shape[1], 1)) ** 0.5
-            return -lr * matrix_lr_mult * scale * o.astype(g.dtype)
+            return -lr_t * matrix_lr_mult * scale * o.astype(g.dtype)
 
         muon_updates = jax.tree_util.tree_map(
             muon_update, new_mom, grads, is_leaf=lambda x: x is None)
@@ -222,7 +232,8 @@ def muon(
         updates = jax.tree_util.tree_map(
             lambda mu, au: au if mu is None else mu,
             muon_updates, aux_updates, is_leaf=lambda x: x is None)
-        return updates, MuonState(momentum=new_mom, adam=aux_state)
+        return updates, MuonState(momentum=new_mom, adam=aux_state,
+                                  step=state.step + 1)
 
     return optax.GradientTransformation(init, update)
 
@@ -251,6 +262,58 @@ def warmup_cosine(
     )
 
 
+def prodigy_cycle_schedule(
+    warm_up_steps: int,
+    total_steps: int,
+    scheduler_cycles: float = 1,
+    scheduler_type: str = "Linear",
+):
+    """LR-factor schedule for Prodigy, rebuilding the reference's
+    `SequentialLR2` composition (`ddpm.py:3945-4003`,
+    `ldm/modules/lr_scheduler.py` SequentialLR2): a constant-1 warmup for
+    `warm_up_steps`, then `scheduler_cycles` cycles over the remaining
+    steps. Cycle types:
+
+    - ``Linear``: PolynomialLR(power=1) per cycle with total_iters =
+      cycle_steps * 1.1, so each cycle ends at 1 - 1/1.1 ≈ 0.09 of full LR
+      and restarts at 1 (the last cycle absorbs the remainder).
+    - ``CosineAnnealingWarmRestarts``: eta_min = 0.1, T_0 = cycle steps.
+    - ``CyclicLR``: triangle between 0.1 and 1 with half-period
+      cycle_steps/2, starting AT the peak and descending first (the
+      reference offsets last_epoch by half a cycle); cycle count is
+      reduced by 0.5 to keep the total length.
+    """
+    total_cycle = float(max(total_steps - warm_up_steps, 1))
+    num = float(scheduler_cycles)
+    if scheduler_type == "CyclicLR":
+        num -= 0.5
+    num = max(num, 0.5)
+    single = total_cycle / num
+
+    def sched(step):
+        t = jnp.maximum(step - warm_up_steps, 0).astype(jnp.float32)
+        if scheduler_type == "Linear":
+            n_int = max(int(scheduler_cycles), 1)
+            idx = jnp.minimum(jnp.floor(t / single), n_int - 1)
+            t_c = t - idx * single
+            last_len = total_cycle - single * (n_int - 1)
+            cyc_len = jnp.where(idx == n_int - 1, last_len, single)
+            f = jnp.clip(1.0 - t_c / (cyc_len * 1.1), 0.0, 1.0)
+        elif scheduler_type == "CosineAnnealingWarmRestarts":
+            t_c = jnp.mod(t, single)
+            f = 0.1 + 0.45 * (1.0 + jnp.cos(jnp.pi * t_c / single))
+        elif scheduler_type == "CyclicLR":
+            half = single / 2.0
+            pos = jnp.mod(t / half, 2.0)  # 0 at the peak, 1 at the trough
+            tri = jnp.where(pos <= 1.0, 1.0 - pos, pos - 1.0)
+            f = 0.1 + 0.9 * tri
+        else:
+            raise ValueError(f"unknown scheduler_type '{scheduler_type}'")
+        return jnp.where(step < warm_up_steps, 1.0, f)
+
+    return sched
+
+
 def make_optimizer(
     name: str,
     lr: float,
@@ -270,9 +333,20 @@ def make_optimizer(
     elif name == "nadam":
         core = optax.nadamw(sched, weight_decay=weight_decay)
     elif name == "prodigy":
-        core = prodigy(lr=1.0, weight_decay=weight_decay, **kw)
+        # Prodigy runs at lr=1 scaled by the cyclic schedule; weight decay
+        # is disabled in the reference's Prodigy branch (`ddpm.py:3938`)
+        cycles = kw.pop("scheduler_cycles", 1)
+        sched_type = kw.pop("scheduler_type", "Linear")
+        lr_sched = prodigy_cycle_schedule(
+            warmup_steps, total_steps, cycles, sched_type)
+        kw.setdefault("safeguard_warmup", cycles > 1)
+        kw.setdefault("betas", (0.985, 0.993))
+        core = prodigy(lr=lr_sched, **kw)
     elif name == "muon":
-        core = muon(lr=lr, **kw)
+        # matrix params take 5x LR (`ddpm.py:3918-3924`), and Muon reuses
+        # the AdamW warmup-cosine schedule (`ddpm.py:3926-3931`)
+        kw.setdefault("matrix_lr_mult", 5.0)
+        core = muon(lr=sched, adam_lr=sched, **kw)
     else:
         raise ValueError(f"unknown optimizer '{name}'")
     return optax.chain(optax.clip_by_global_norm(grad_clip), core)

@@ -57,6 +57,10 @@ class TrainerConfig:
     lr: float = 1e-5
     warmup_steps: int = 600
     grad_clip: float = 0.2
+    # extra optimizer kwargs, e.g. prodigy d_coef / scheduler_cycles /
+    # scheduler_type ('Linear' | 'CosineAnnealingWarmRestarts' | 'CyclicLR',
+    # `ddpm.py:3932-4003`, yaml prodigy_config)
+    optimizer_kwargs: dict = dataclasses.field(default_factory=dict)
     comp_distill_iter_gap: int = 0
     unet_distill_iter_gap: int = 0
     num_vectors_per_subj_token: int = 16
@@ -120,7 +124,8 @@ class Trainer:
             trainable = dict(trainable, unet=frozen["unet"])
         base_opt = make_optimizer(
             cfg.optimizer, cfg.lr, warmup_steps=cfg.warmup_steps,
-            total_steps=cfg.max_steps, grad_clip=cfg.grad_clip)
+            total_steps=cfg.max_steps, grad_clip=cfg.grad_clip,
+            **cfg.optimizer_kwargs)
         self.optimizer = (optax.MultiSteps(base_opt, cfg.accum_steps)
                           if cfg.accum_steps > 1 else base_opt)
         self.state = init_state(trainable, self.optimizer)
