@@ -66,6 +66,12 @@ class TrainerConfig:
     num_vectors_per_subj_token: int = 16
     image_size: int = 512
     seed: int = 0
+    # last-k CLIP hidden-state mixing (`--clip_last_layers_skip_weights 1 2 2
+    # --randomize_clip_skip_weights`, README.md:63, modules.py:424-452):
+    # when randomized, the tuple is the Dirichlet alpha; else it is
+    # normalized into fixed weights
+    clip_skip_weights: tuple = (1.0, 2.0, 2.0)
+    randomize_clip_skip_weights: bool = True
     dp: int | None = None
     profile: bool = False
     # unet-distill iteration randomization (`ddpm.py:1131-1263`):
@@ -244,10 +250,15 @@ class Trainer:
             "img_mask": resize_nearest(aug, (hw, hw)),
             "fg_mask": resize_nearest(fg, (hw, hw)),
             "face_detected": jnp.ones((b,)),
-            # per-iteration Dirichlet-randomized CLIP-skip weights
-            # (`get_text_conditioning`, `ddpm.py:739-853`)
-            "clip_skip_weights": jnp.asarray(np.random.RandomState(
-                flags.seed).dirichlet((5.0, 15.0)), jnp.float32),
+            # per-iteration Dirichlet-randomized CLIP-skip weights with
+            # clip_skip_weights as the alpha (`get_text_conditioning`,
+            # `ddpm.py:739-853`, `modules.py:424-452`)
+            "clip_skip_weights": jnp.asarray(
+                np.random.RandomState(flags.seed).dirichlet(
+                    self.cfg.clip_skip_weights)
+                if self.cfg.randomize_clip_skip_weights else
+                np.asarray(self.cfg.clip_skip_weights, np.float64)
+                / np.sum(self.cfg.clip_skip_weights), jnp.float32),
         }
 
         if flags.iter_type == "unet_distill" and self.teacher is not None:
