@@ -30,7 +30,7 @@ from adaface_tpu.text.embedding_manager import extend_token_embedding
 
 Params = dict[str, Any]
 
-SUPPORTED_PIPELINES = ("text2img", "img2img")
+SUPPORTED_PIPELINES = ("text2img", "img2img", "text2video")
 
 
 class AdaFaceWrapper:
@@ -44,6 +44,8 @@ class AdaFaceWrapper:
         out_id_embs_cfg_scale: float | None = None,
         dtype=jnp.bfloat16,
         max_prompt_length: int = 77,
+        motion: Params | None = None,  # temporal modules for text2video
+        motion_cfg=None,  # MotionConfig (defaults to MM_SD15_V2)
     ):
         if pipeline_name in ("sdxl", "sd3", "flux"):
             raise NotImplementedError(
@@ -51,7 +53,22 @@ class AdaFaceWrapper:
                 "trained SD1.5 path is implemented")
         assert pipeline_name in SUPPORTED_PIPELINES, pipeline_name
         self.pipeline_name = pipeline_name
-        self.pipeline = DiffusionPipeline(modules, dtype=dtype)
+        if pipeline_name == "text2video":
+            # AdaFace-Animate path: ada tokens condition the motion-module
+            # video UNet (`inference/video_pipeline.py`)
+            from adaface_tpu.inference.video_pipeline import VideoPipeline
+            from adaface_tpu.models.motion import (MM_SD15_V2,
+                                                   init_motion_params)
+
+            if motion_cfg is None:
+                motion_cfg = MM_SD15_V2
+            if motion is None:
+                motion = init_motion_params(jax.random.PRNGKey(0),
+                                            modules.unet_cfg, motion_cfg)
+            self.pipeline = VideoPipeline(modules, motion,
+                                          motion_cfg=motion_cfg, dtype=dtype)
+        else:
+            self.pipeline = DiffusionPipeline(modules, dtype=dtype)
         self.id2ada_prompt_encoder = id2ada_prompt_encoder
         self.guidance_scale = guidance_scale
         self.num_inference_steps = num_inference_steps
@@ -180,14 +197,26 @@ class AdaFaceWrapper:
         height: int = 512,
         width: int = 512,
         scheduler: str = "ddim",  # ddim | dpm++ | pndm | lcm
+        num_frames: int = 16,  # text2video only
     ):
-        """→ images [N, 3, H, W] in [0, 1]."""
+        """→ images [N, 3, H, W] in [0, 1] (text2video: [N, F, 3, H, W])."""
         if update_prompt:
             prompt = self.update_prompt(prompt)
         gs = guidance_scale if guidance_scale is not None else self.guidance_scale
         steps = (num_inference_steps if num_inference_steps is not None
                  else self.num_inference_steps)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        if self.pipeline_name == "text2video":
+            return self.pipeline(
+                [prompt] * num_images,
+                negative_prompt=negative_prompt,
+                num_frames=num_frames,
+                num_inference_steps=steps,
+                guidance_scale=gs,
+                height=height, width=width,
+                rng=rng,
+            )
 
         latents = None
         if self.pipeline_name == "img2img":

@@ -557,14 +557,32 @@ def unet_apply(
     attn_lora: Params | None = None,
     ffn_lora: Params | None = None,
     subj_mask: jax.Array | None = None,  # [B, S] subject-token positions
+    motion: Params | None = None,  # temporal modules (models/motion.py)
+    num_frames: int = 1,  # frames per video when motion is given; B = V·F
+    motion_cfg=None,  # MotionConfig override (defaults to MM_SD15_V2)
 ):
     """Returns (eps [B,4,64,64], captured dict).
 
     captured = {'outfeat': {22: [B,C,h,w],…}, 'q': {22: …}, …} for the last
     up block's 3 CA layers when rt.capture.
+
+    With `motion` params the batch is interpreted as V videos × num_frames
+    contiguous frames and an AnimateDiff-style temporal module runs after
+    every (resnet, attention) pair (AdaFace-Animate video path).
     """
     dtype = context.dtype
     x = x.astype(dtype).transpose(0, 2, 3, 1)  # NHWC
+
+    if motion is not None and num_frames > 1:
+        from adaface_tpu.models.motion import MM_SD15_V2, motion_apply
+
+        mcfg = motion_cfg if motion_cfg is not None else MM_SD15_V2
+
+        def temporal(mm, h):
+            return motion_apply(mm, h, num_frames, mcfg)
+    else:
+        def temporal(mm, h):
+            return h
 
     temb = timestep_embedding(t, cfg.block_channels[0]).astype(dtype)
     temb = dense(params["time_mlp"]["fc2"],
@@ -585,6 +603,8 @@ def unet_apply(
                 h, _ = _transformer2d(
                     blk["attentions"][li], h, context, cfg, rt, kv_mask, im,
                     None, subj_mask, want_capture=False)
+            if motion is not None:
+                h = temporal(motion["down"][bi][li], h)
             skips.append(h)
         if "downsample" in blk:
             h = conv2d(blk["downsample"], h, stride=2)
@@ -594,6 +614,8 @@ def unet_apply(
     h = _resnet(params["mid"]["resnet1"], h, temb, cfg)
     h, _ = _transformer2d(params["mid"]["attention"], h, context, cfg, rt,
                           kv_mask, im, None, subj_mask, want_capture=False)
+    if motion is not None:
+        h = temporal(motion["mid"], h)
     h = _resnet(params["mid"]["resnet2"], h, temb, cfg)
 
     captured: dict[str, dict[int, jax.Array]] = {}
@@ -626,6 +648,8 @@ def unet_apply(
                         captured.setdefault(k, {})[label] = val
                     captured.setdefault("outfeat", {})[label] = (
                         h.transpose(0, 3, 1, 2))
+            if motion is not None:
+                h = temporal(motion["up"][bi][li], h)
         if "upsample" in blk:
             h = conv2d(blk["upsample"], upsample2x_nearest(h))
 

@@ -188,3 +188,25 @@ def test_pipeline_attn_lora_changes_output(modules, tmp_path):
     w.load_unet_lora_weights(str(tmp_path / "ck"))
     assert w.pipeline.m.attn_lora is not None
     modules.attn_lora = None  # leave the shared fixture clean
+
+
+def test_wrapper_text2video(modules):
+    """The AdaFace-Animate route: text2video with zero-init motion modules
+    reproduces per-frame image behavior and returns [N, F, 3, H, W]."""
+    from adaface_tpu.models.motion import MotionConfig
+
+    enc = Arc2FaceID2AdaPrompt(
+        jax.random.PRNGKey(1), face_backend=DeterministicBackend(),
+        clip_vision_cfg=TINY_VISION, sbg_clip_cfg=TINY_TEXT,
+        text_cfg=TINY_TEXT, output_dim=D)
+    w = AdaFaceWrapper(
+        "text2video", modules, enc, num_inference_steps=2,
+        dtype=jnp.float32,
+        motion_cfg=MotionConfig(num_heads=2, norm_groups=8))
+    imgs = np.random.default_rng(0).uniform(
+        0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    w.prepare_adaface_embeddings([imgs[0]])
+    vid = w("person dancing", num_frames=2, num_images=1,
+            height=64, width=64)
+    assert vid.shape == (1, 2, 3, 64, 64)
+    assert np.isfinite(np.asarray(vid)).all()
