@@ -48,8 +48,19 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: PyTree, mesh: Mesh) -> PyTree:
+    """Shard each leaf's leading axis over 'dp'; leaves whose dim 0 is not
+    divisible by dp (scalars, per-iteration vectors like the 3-element
+    clip_skip_weights) are replicated instead."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+    dp = mesh.shape["dp"]
+
+    def place(x):
+        shaped = getattr(x, "shape", None)
+        ok = shaped is not None and len(shaped) >= 1 and shaped[0] % dp == 0
+        return jax.device_put(x, sh if ok else rep)
+
+    return jax.tree_util.tree_map(place, batch)
 
 
 # Default tensor-parallel rules: shard the out-features of QKV/MLP-in

@@ -91,6 +91,12 @@ class TrainerConfig:
     # safetensors (`ddpm.py:4041-4062`)
     unfreeze_unet: bool = False
     unet_lr_scale: float = 1.0  # reference scales UNet lr vs sbg lr
+    # batches prepared ahead by a background thread so host-side work
+    # (PIL/cv2 aug, face-ID extraction, teacher precompute dispatch)
+    # overlaps the device train step; 0 disables (SURVEY §7 step 10).
+    # Safe across UNet hot-swaps: _prepare_batch touches only frozen
+    # towers (VAE / id2ada encoder / teacher), never the student UNet.
+    prefetch: int = 2
 
 
 class Trainer:
@@ -136,11 +142,16 @@ class Trainer:
                           if cfg.accum_steps > 1 else base_opt)
         self.state = init_state(trainable, self.optimizer)
 
-        self.logger = MetricsLogger(cfg.log_dir)
+        # rank-0-only writers in multi-host runs (SURVEY §2.8; the
+        # reference's rank_zero_only / rank-prefixed logging)
+        is_rank0 = jax.process_index() == 0
+        self.logger = MetricsLogger(cfg.log_dir, echo=is_rank0,
+                                    write=is_rank0)
         self.face_stats = RollingStats(("face_detected",))
-        self.profiler = (ProfilerHook(cfg.log_dir) if cfg.profile else None)
+        self.profiler = (ProfilerHook(cfg.log_dir)
+                         if cfg.profile and is_rank0 else None)
         self.sample_logger = None
-        if cfg.sample_every:
+        if cfg.sample_every and is_rank0:
             from adaface_tpu.utils.sample_logger import SampleLogger
 
             self.sample_logger = SampleLogger(cfg.log_dir)
@@ -312,22 +323,64 @@ class Trainer:
         return device_batch
 
     # ---------------------------------------------------------------- run
+    def _batch_iterator(self, dataset: PersonalizedBase, num_steps: int):
+        """Yields (step, flags, batch) in deterministic step order.
+
+        With cfg.prefetch > 0 a daemon thread runs this host-side prep
+        ahead of the device step through a bounded queue (the reference
+        gets the same overlap from DataLoader workers, `main.py:311-331`;
+        here the batch also carries face-ID extraction and the frozen
+        teacher precompute, so the overlap window is much larger)."""
+
+        def produce():
+            sampler = SubjectSampler(dataset, self.cfg.batch_size,
+                                     num_batches=num_steps,
+                                     seed=self.cfg.seed)
+            it = iter(sampler)
+            rng = jax.random.PRNGKey(self.cfg.seed)
+            for step in range(num_steps):
+                flags = self.planner.plan(step)
+                idxs = [next(it) for _ in range(self.cfg.batch_size)]
+                examples = [dataset[i] for i in idxs]
+                rng, sub = jax.random.split(rng)
+                yield step, flags, self._prepare_batch(examples, flags, sub)
+
+        if self.cfg.prefetch <= 0:
+            yield from produce()
+            return
+
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.cfg.prefetch)
+        _END, _ERR = object(), object()
+
+        def worker():
+            try:
+                for item in produce():
+                    q.put(item)
+                q.put(_END)
+            except BaseException as e:  # surface in the consumer
+                q.put((_ERR, e))
+
+        t = threading.Thread(target=worker, daemon=True,
+                             name="batch-prefetch")
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and item[0] is _ERR:
+                raise item[1]
+            yield item
+
     def fit(self, dataset: PersonalizedBase, num_steps: int | None = None):
         num_steps = num_steps or self.cfg.max_steps
-        sampler = SubjectSampler(dataset, self.cfg.batch_size,
-                                 num_batches=num_steps, seed=self.cfg.seed)
-        it = iter(sampler)
-        rng = jax.random.PRNGKey(self.cfg.seed)
         metrics = {}
         nan_streak = 0
-        for step in range(num_steps):
-            flags = self.planner.plan(step)
+        for step, flags, batch in self._batch_iterator(dataset, num_steps):
             if flags.switch_weights:
                 self._hot_swap_unet(flags.use_comp_distill_weights)
-            idxs = [next(it) for _ in range(self.cfg.batch_size)]
-            examples = [dataset[i] for i in idxs]
-            rng, sub = jax.random.split(rng)
-            batch = self._prepare_batch(examples, flags, sub)
             step_fn = self._get_step(flags.iter_type)
             try:
                 self.state, metrics = step_fn(self.state, batch,
@@ -430,6 +483,11 @@ class Trainer:
 
     def save(self, step: int):
         out = os.path.join(self.cfg.log_dir, f"checkpoints/embeddings_gs-{step}")
+        # rank-0 writes only in multi-host runs (`rank_zero_only` saving,
+        # `ddpm.py:4030`; SURVEY §2.8 multihost-safe checkpointing) —
+        # trainable state is dp-replicated so host 0 holds the full pytree
+        if jax.process_index() != 0:
+            return out
         # structured like AdaFaceWrapper.load_unet_lora_weights expects
         lora = {k: self.state.params[k]
                 for k in ("attn_lora", "ffn_lora") if k in self.state.params}

@@ -44,14 +44,17 @@ class MetricsLogger:
     """CSV metrics logger with console echo."""
 
     def __init__(self, log_dir: str, filename: str = "metrics.csv",
-                 echo_every: int = 50):
+                 echo_every: int = 50, echo: bool = True, write: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
-        self.echo_every = echo_every
+        self.echo_every = echo_every if echo else 0
+        self.write = write  # False on non-zero hosts (rank-0-only logging)
         self._fieldnames: list[str] | None = None
         self._t0 = time.time()
 
     def log_dict(self, step: int, metrics: dict):
+        if not self.write:
+            return
         row = {"step": step, "wall_time": round(time.time() - self._t0, 2)}
         row.update({k: float(v) for k, v in metrics.items()})
         write_header = self._fieldnames is None or not os.path.exists(self.path)

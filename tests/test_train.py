@@ -271,3 +271,20 @@ def test_recon_with_lora_adapters():
     g_other = sum(float(jnp.abs(x).sum()) for x in
                   jax.tree_util.tree_leaves(grads["ffn_lora"]["unet_distill"]))
     assert g_other == 0
+
+
+def test_shard_batch_replicates_non_divisible_leaves():
+    """Leaves whose leading dim isn't divisible by dp (scalars, the
+    3-element clip_skip_weights) must be replicated, not dp-sharded."""
+    mesh = make_mesh(dp=8, tp=1)
+    batch = {
+        "x": jnp.zeros((8, 4, 8, 8)),
+        "clip_skip_weights": jnp.asarray([0.2, 0.3, 0.5]),
+        "scalar": jnp.float32(0.5),
+    }
+    out = shard_batch(batch, mesh)
+    assert out["x"].sharding.spec == jax.sharding.PartitionSpec("dp")
+    assert out["clip_skip_weights"].sharding.is_fully_replicated
+    assert out["scalar"].sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(out["clip_skip_weights"]),
+                                  np.asarray([0.2, 0.3, 0.5], np.float32))

@@ -264,3 +264,49 @@ def test_iteration_planner_distill_steps_range():
              if p.plan(i).iter_type == "unet_distill"]
     assert steps and all(2 <= s <= 3 for s in steps)
     assert {2, 3} == set(steps)  # both buckets exercised
+
+
+def test_batch_prefetch_deterministic(toy_dataset, tmp_path):
+    """The background prefetch thread (TrainerConfig.prefetch) must yield
+    the same (step, flags, batch) stream as inline preparation."""
+    rng = jax.random.PRNGKey(0)
+    tok = CLIPTokenizer.character_fallback()
+    k_id = 16
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", k_id)])
+    encoder = Arc2FaceID2AdaPrompt(
+        jax.random.fold_in(rng, 1),
+        face_backend=DeterministicBackend(),
+        clip_vision_cfg=SMALL_VISION, sbg_clip_cfg=SMALL_CLIP,
+        text_cfg=SMALL_CLIP, output_dim=D, is_training=True)
+    unet = init_unet_params(jax.random.fold_in(rng, 3), UNET_CFG)
+    text = init_text_params(jax.random.fold_in(rng, 4), SMALL_CLIP)
+    frozen = {"unet": unet, "text_encoder": text,
+              "sbg_buffers": encoder.subj_basis_generator["buffers"]}
+    trainable = {"sbg": encoder.subj_basis_generator["params"]}
+    train_cfg = TrainConfig(unet=UNET_CFG, sbg=encoder.sbg_cfg,
+                            clip_text=SMALL_CLIP)
+    def collect(prefetch):
+        # fresh dataset per run: __getitem__ advances the augmentation RNG
+        # per call (reference DataLoader-worker semantics), so comparing
+        # the two paths needs identical dataset state, not a shared one
+        ds = PersonalizedBase(toy_dataset, num_vectors_per_subj_token=k_id,
+                              size=128, seed=0)
+        cfg = TrainerConfig(
+            log_dir=str(tmp_path / f"logs{prefetch}"), batch_size=2,
+            max_steps=3, accum_steps=1, ckpt_every=99, optimizer="adamw",
+            lr=1e-4, warmup_steps=1, comp_distill_iter_gap=0,
+            unet_distill_iter_gap=0, image_size=128,
+            num_vectors_per_subj_token=k_id, prefetch=prefetch)
+        trainer = Trainer(cfg, train_cfg, frozen, trainable, encoder, em,
+                          vae_params=None, teacher=None)
+        return list(trainer._batch_iterator(ds, 3))
+
+    inline, threaded = collect(0), collect(2)
+    assert len(inline) == len(threaded) == 3
+    for (s0, f0, b0), (s1, f1, b1) in zip(inline, threaded):
+        assert s0 == s1 and f0.iter_type == f1.iter_type
+        assert f0.seed == f1.seed
+        assert sorted(b0) == sorted(b1)
+        for k in b0:
+            np.testing.assert_array_equal(np.asarray(b0[k]),
+                                          np.asarray(b1[k]), err_msg=k)
