@@ -152,6 +152,33 @@ class AdaFaceWrapper:
             self.update_text_encoder_subj_embeddings(ada)
         return ada
 
+    def make_batcher(self, num_slots: int = 8,
+                     num_inference_steps: int | None = None, **kw):
+        """Continuous-batching server over this wrapper's pipeline: requests
+        for *different subjects* share one device batch (per-sample ada
+        injection instead of the reference's shared-table writes,
+        `adaface_wrapper.py:461-489`), and slots refill per denoise step.
+        Build requests with `make_request`."""
+        from adaface_tpu.inference.serving import ContinuousBatcher
+
+        all_ids = [i for ids in self.placeholder_token_ids for i in ids]
+        return ContinuousBatcher(
+            self.pipeline.m, num_slots=num_slots,
+            num_inference_steps=num_inference_steps or self.num_inference_steps,
+            placeholder_token_ids=all_ids, dtype=self.dtype, **kw)
+
+    def make_request(self, prompt: str, ada_embs=None,
+                     negative_prompt: str = "", **kw):
+        """Request for `make_batcher`: appends the placeholder strings to
+        the prompt (update_prompt) and carries the subject's ada embeddings
+        (from `prepare_adaface_embeddings(update_text_encoder=False)`)."""
+        from adaface_tpu.inference.serving import Request
+
+        gs = kw.pop("guidance_scale", self.guidance_scale)
+        return Request(prompt=self.update_prompt(prompt),
+                       negative_prompt=negative_prompt,
+                       ada_embs=ada_embs, guidance_scale=gs, **kw)
+
     def load_unet_lora_weights(self, ckpt_dir: str,
                                ffn_adapter: str = "comp_distill"):
         """Load trained UNet attn/FFN DoRA LoRAs from an adaface checkpoint
