@@ -58,6 +58,11 @@ class SubjBasisConfig:
     learnable_hidden_state_weights: bool = True
     hidden_weights_grad_scale: float = 5.0
     num_out_embs_bg: int = 64  # 16*4 for the bg path
+    # layerwise projection (dormant in the reference: `use_layerwise_proj`
+    # defaults False and is never enabled; `subj_basis_generator.py:615-620`)
+    use_layerwise_proj: bool = False
+    layerwise_num_layers: int = 16
+    layerwise_dim_mult: int = 2
     clip: clip_mod.CLIPTextConfig = clip_mod.CLIP_L_TEXT
 
 
@@ -113,6 +118,16 @@ def init_subj_basis_generator(
         params["obj_proj_in"] = init_expand_embs(
             next(ks), cfg.obj_embedding_dim, cfg.output_dim, cfg.num_id_vecs
         )
+        if cfg.use_layerwise_proj:
+            d, l, m = cfg.output_dim, cfg.layerwise_num_layers, cfg.layerwise_dim_mult
+            k1, k2 = jax.random.split(next(ks))
+            params["layerwise_proj"] = {
+                "w1": jax.random.normal(k1, (d, l * m * d)) / np.sqrt(d),
+                "b1": jnp.zeros((l * m * d,)),
+                "w2": jax.random.normal(k2, (m * d, d)) / np.sqrt(m * d),
+                "b2": jnp.zeros((d,)),
+                "ln": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
+            }
         # template: N_ID fillers for the id embs + (N_SFX + 2) extra fillers
         n_fillers = cfg.num_id_vecs + cfg.num_static_img_suffix_embs + 2
         ids, id_start = _build_template(tokenizer, n_fillers, cfg.max_prompt_length)
@@ -284,7 +299,27 @@ def subj_basis_forward(
             + pad[None].astype(ada_id_embs.dtype) * (1.0 - out_id_embs_cfg_scale)
         )
         out = out.at[:, :n_id].set(mixed)
+    if cfg.use_layerwise_proj and is_face:
+        # [B,N,D] -> [B,L,N,D]: per-UNet-layer ada embeddings
+        # (`LayerwiseMLPProjWithSkip`, `subj_basis_generator.py:61-77,759`).
+        # The reference's dormant path adds the skip via `unsqueeze(1)`,
+        # which lines the token dim up against the layer dim (both 16);
+        # here the skip broadcasts over layers as the comment there intends,
+        # and CFG token-mixing happens before the projection.
+        out = _apply_layerwise_proj(
+            params["layerwise_proj"], out,
+            cfg.layerwise_num_layers, cfg.layerwise_dim_mult)
     return out
+
+
+def _apply_layerwise_proj(p, x, num_layers: int, dim_mult: int):
+    """[B,N,D] → [B,L,N,D]: wide linear → GELU → linear, +skip, LN."""
+    b, n, d = x.shape
+    h = jnp.einsum("bnd,de->bne", x, p["w1"].astype(x.dtype)) + p["b1"]
+    h = jax.nn.gelu(h.reshape(b, n, num_layers, dim_mult * d))
+    y = jnp.einsum("bnlh,hd->bnld", h, p["w2"].astype(x.dtype)) + p["b2"]
+    y = _ln(p["ln"], y + x[:, :, None])
+    return y.transpose(0, 2, 1, 3)
 
 
 def _apply_bg_proj(p, x):

@@ -10,6 +10,8 @@ Rebuilds of the reference's optimizer zoo (SURVEY §2.2):
 - muon — Newton–Schulz orthogonalized momentum for ≥2-D weights with an aux
   AdamW for the rest (the reference pulls `MuonWithAuxAdam` from pip and
   gives matrix params 5× LR, `ddpm.py:3855-4020`).
+- adam8bit — int8 block-quantized-moment Adam (the reference's
+  bitsandbytes `Adam8bit` branch, rebuilt TPU-native).
 - warmup_cosine — LambdaWarmUpCosineScheduler equivalent
   (`ldm/modules/lr_scheduler.py`).
 """
@@ -239,6 +241,113 @@ def muon(
 
 
 # ---------------------------------------------------------------------------
+# 8-bit Adam
+# ---------------------------------------------------------------------------
+
+
+class Adam8bitState(NamedTuple):
+    count: jax.Array
+    moments: optax.Updates  # per-leaf dict: fp32 {m,v} or int8 {qm,sm,qv,sv}
+
+
+def adam8bit(
+    lr,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    block_size: int = 256,
+    min_8bit_size: int = 4096,
+) -> optax.GradientTransformation:
+    """Adam with int8 block-quantized moments (the reference's
+    `bnb.optim.Adam8bit` branch, `ddpm.py:3855-4020`). bitsandbytes is
+    CUDA-only; this is the TPU-native equivalent: each moment tensor is
+    stored as int8 with one f32 absmax scale per `block_size` block
+    (linear quantization instead of bnb's dynamic-tree map — simpler and
+    XLA-fusable; the per-block scale bounds the quantization error the
+    same way). Leaves smaller than `min_8bit_size` keep fp32 state,
+    matching bnb's `min_8bit_size` behavior. State HBM for large leaves
+    drops 4x (8.25 bits/moment vs 32)."""
+
+    def _nblocks(n):
+        return (n + block_size - 1) // block_size
+
+    def _quant(x):
+        """f32 [...]→ (int8 [nb, B], f32 [nb]) with per-block absmax."""
+        n = x.size
+        nb = _nblocks(n)
+        xf = jnp.pad(x.reshape(-1), (0, nb * block_size - n))
+        xb = xf.reshape(nb, block_size)
+        scale = jnp.max(jnp.abs(xb), axis=1)
+        q = jnp.round(xb * (127.0 / jnp.maximum(scale, 1e-30))[:, None])
+        return q.astype(jnp.int8), scale
+
+    def _dequant(q, scale, shape):
+        x = q.astype(jnp.float32) * (scale * (1.0 / 127.0))[:, None]
+        n = 1
+        for s in shape:
+            n *= s
+        return x.reshape(-1)[:n].reshape(shape)
+
+    def leaf_init(p):
+        if p.size < min_8bit_size:
+            z = jnp.zeros(p.shape, jnp.float32)
+            return {"m": z, "v": z}
+        nb = _nblocks(p.size)
+        return {
+            "qm": jnp.zeros((nb, block_size), jnp.int8),
+            "sm": jnp.zeros((nb,), jnp.float32),
+            "qv": jnp.zeros((nb, block_size), jnp.int8),
+            "sv": jnp.zeros((nb,), jnp.float32),
+        }
+
+    def init(params):
+        moments = jax.tree_util.tree_map(leaf_init, params)
+        return Adam8bitState(count=jnp.zeros((), jnp.int32), moments=moments)
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        lr_t = lr(state.count) if callable(lr) else lr
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def leaf(g, s, p):
+            out_dtype = g.dtype
+            g = g.astype(jnp.float32)
+            if "m" in s:
+                m, v = s["m"], s["v"]
+            else:
+                m = _dequant(s["qm"], s["sm"], g.shape)
+                v = _dequant(s["qv"], s["sv"], g.shape)
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            upd = -lr_t * ((m / c1) / (jnp.sqrt(v / c2) + eps))
+            if weight_decay and p is not None:
+                upd = upd - lr_t * weight_decay * p.astype(jnp.float32)
+            if "m" in s:
+                new_s = {"m": m, "v": v}
+            else:
+                qm, sm = _quant(m)
+                qv, sv = _quant(v)
+                new_s = {"qm": qm, "sm": sm, "qv": qv, "sv": sv}
+            return upd.astype(out_dtype), new_s
+
+        if params is None:
+            flat = jax.tree_util.tree_map(
+                lambda g, s: leaf(g, s, None), grads, state.moments)
+        else:
+            flat = jax.tree_util.tree_map(leaf, grads, state.moments, params)
+        # unzip the (update, new_state) leaf tuples
+        updates = jax.tree_util.tree_map(
+            lambda t: t[0], flat, is_leaf=lambda x: isinstance(x, tuple))
+        moments = jax.tree_util.tree_map(
+            lambda t: t[1], flat, is_leaf=lambda x: isinstance(x, tuple))
+        return updates, Adam8bitState(count=count, moments=moments)
+
+    return optax.GradientTransformation(init, update)
+
+
+# ---------------------------------------------------------------------------
 # schedules
 # ---------------------------------------------------------------------------
 
@@ -332,6 +441,8 @@ def make_optimizer(
         core = optax.adamw(sched, weight_decay=weight_decay)
     elif name == "nadam":
         core = optax.nadamw(sched, weight_decay=weight_decay)
+    elif name == "adam8bit":
+        core = adam8bit(sched, weight_decay=weight_decay, **kw)
     elif name == "prodigy":
         # Prodigy runs at lr=1 scaled by the cyclic schedule; weight decay
         # is disabled in the reference's Prodigy branch (`ddpm.py:3938`)

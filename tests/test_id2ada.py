@@ -65,6 +65,35 @@ def test_sbg_cfg_scale_zero_gives_pad_embs(sbg):
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(pad), atol=1e-5)
 
 
+def test_sbg_layerwise_proj():
+    """use_layerwise_proj → per-layer ada embeddings [B,L,N,D] with an
+    identity-ish skip (`LayerwiseMLPProjWithSkip`,
+    `subj_basis_generator.py:61-77,759`)."""
+    cfg = SubjBasisConfig(num_id_vecs=4, output_dim=D, clip=SMALL_CLIP,
+                          use_layerwise_proj=True, layerwise_num_layers=3,
+                          layerwise_dim_mult=2)
+    sbg = init_subj_basis_generator(jax.random.PRNGKey(0), cfg)
+    face = jax.random.normal(jax.random.PRNGKey(1), (2, 4, D))
+    out = subj_basis_forward(sbg, face, cfg)
+    assert out.shape == (2, 3, 4, D)
+    assert np.isfinite(np.asarray(out)).all()
+    # the projection is trainable
+    g = jax.grad(lambda p: (subj_basis_forward(
+        {"params": p, "buffers": sbg["buffers"]}, face, cfg) ** 2).sum()
+    )(sbg["params"])
+    assert float(jnp.abs(g["layerwise_proj"]["w1"]).sum()) > 0
+    # CFG token-mixing happens before the projection: scale 0 must equal
+    # projecting the pad embeddings directly
+    from adaface_tpu.id2ada.subj_basis_generator import _apply_layerwise_proj
+
+    out0 = subj_basis_forward(sbg, face, cfg, out_id_embs_cfg_scale=0.0)
+    start = int(sbg["buffers"]["id_start"])
+    pad = sbg["buffers"]["pad_embeddings"][start:start + 4][None]
+    ref = _apply_layerwise_proj(sbg["params"]["layerwise_proj"],
+                                jnp.broadcast_to(pad, (2, 4, D)), 3, 2)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref), atol=2e-5)
+
+
 def test_inverse_emb_types(sbg):
     face = jax.random.normal(jax.random.PRNGKey(2), (1, 4, D))
     core, full, full_pad, half_pad = inverse_img_prompt_embs(

@@ -175,6 +175,41 @@ def test_muon_optimizes_matrices():
     assert _quadratic_steps(muon(lr=0.05), n=100) < 3.0
 
 
+def test_adam8bit_tracks_adam_and_quantizes_state():
+    """adam8bit (bnb `Adam8bit` branch, `ddpm.py:3855-4020`): int8 moments
+    for large leaves, fp32 for small ones; trajectory stays close to exact
+    Adam on a quadratic."""
+    import optax
+
+    from adaface_tpu.train.optimizers import adam8bit
+
+    dim = 64  # 4096 params → quantized at min_8bit_size=4096
+    target = jnp.arange(1.0, dim + 1) / dim
+    params = {"w": jnp.zeros((dim, dim)), "b": jnp.zeros((dim,))}
+
+    def loss(p):
+        return ((p["w"] @ jnp.ones(dim) + p["b"] - target) ** 2).mean()
+
+    opt8 = adam8bit(0.05, min_8bit_size=4096)
+    opt32 = optax.adam(0.05)
+    s8, s32 = opt8.init(params), opt32.init(params)
+    p8, p32 = params, params
+    for _ in range(80):
+        g8 = jax.grad(loss)(p8)
+        u8, s8 = opt8.update(g8, s8, p8)
+        p8 = optax.apply_updates(p8, u8)
+        g32 = jax.grad(loss)(p32)
+        u32, s32 = opt32.update(g32, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+    # large leaf stores int8 moments, small leaf fp32
+    mw, mb = s8.moments["w"], s8.moments["b"]
+    assert mw["qm"].dtype == jnp.int8 and mw["qv"].dtype == jnp.int8
+    assert "m" in mb and mb["m"].dtype == jnp.float32
+    l8, l32 = float(loss(p8)), float(loss(p32))
+    assert l8 < 0.05, l8  # converges
+    assert abs(l8 - l32) < 0.02, (l8, l32)  # tracks exact Adam
+
+
 def test_prodigy_cycle_schedule_shapes():
     """SequentialLR2-composed Prodigy schedules (`ddpm.py:3945-4003`)."""
     from adaface_tpu.train.optimizers import prodigy_cycle_schedule
