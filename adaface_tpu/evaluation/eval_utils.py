@@ -33,6 +33,41 @@ def parse_range_str(range_str: str | None) -> list[int] | None:
     return out
 
 
+def parse_subject_file(path: str) -> tuple[dict, dict]:
+    """Parse a fish-syntax subject table (`info-subjects-celebrity.sh`
+    style; `ldm/util.py:246-288`): lines of `set -g var v1 v2 …`, where a
+    single `$other` value aliases a previously-defined variable. Returns
+    (subj_info, subj2attr) with subj2attr['subj_types'] mapping each
+    subject to its class type (man/woman/…)."""
+    import re
+
+    subj_info: dict[str, list[str]] = {}
+    with open(path) as f:
+        for line in f:
+            mat = re.search(r"^set -g ([a-zA-Z_]+)\s+(\S.*)", line.strip())
+            if mat is None:
+                continue
+            values = mat.group(2).split()
+            if len(values) == 1 and values[0].startswith("$"):
+                values = subj_info[values[0][1:]]
+            subj_info[mat.group(1)] = values
+
+    missing = [v for v in ("subjects",) if v not in subj_info]
+    if missing:
+        raise ValueError(f"{path}: missing required variables {missing}")
+    subj2attr: dict[str, dict[str, str]] = {}
+    for var in ("subj_types", "cls_delta_strings"):
+        vals = subj_info.get(var)
+        if vals is None:
+            continue
+        if len(vals) != len(subj_info["subjects"]):
+            raise ValueError(
+                f"{path}: {var} has {len(vals)} values for "
+                f"{len(subj_info['subjects'])} subjects")
+        subj2attr[var] = dict(zip(subj_info["subjects"], vals))
+    return subj_info, subj2attr
+
+
 def format_prompt_list(
     placeholder: str,
     class_token: str,

@@ -19,7 +19,11 @@ import sys
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--subjects_root", required=True)
+    ap.add_argument("--subjects_root", default=None)
+    ap.add_argument("--subject_file", default=None,
+                    help="fish-syntax subject table (info-subjects-*.sh "
+                         "style): supplies subjects, subj_types, and "
+                         "data_folder when --subjects_root is omitted")
     ap.add_argument("--subject_range", default=None, help="e.g. '0-5'")
     ap.add_argument("--prompt_set", default="dreambench")
     ap.add_argument("--out_root", default="eval_out")
@@ -30,11 +34,22 @@ def main():
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from adaface_tpu.evaluation.eval_utils import parse_range_str
+    from adaface_tpu.evaluation.eval_utils import (
+        parse_range_str, parse_subject_file)
 
-    subjects = sorted(
-        d for d in os.listdir(args.subjects_root)
-        if os.path.isdir(os.path.join(args.subjects_root, d)))
+    subj_types: dict[str, str] = {}
+    if args.subject_file:
+        subj_info, subj2attr = parse_subject_file(args.subject_file)
+        subjects = subj_info["subjects"]
+        subj_types = subj2attr.get("subj_types", {})
+        if args.subjects_root is None:
+            args.subjects_root = subj_info.get("data_folder", ["."])[0]
+    elif args.subjects_root:
+        subjects = sorted(
+            d for d in os.listdir(args.subjects_root)
+            if os.path.isdir(os.path.join(args.subjects_root, d)))
+    else:
+        ap.error("one of --subjects_root / --subject_file is required")
     sel = parse_range_str(args.subject_range)
     if sel is not None:
         subjects = [subjects[i] for i in sel if i < len(subjects)]
@@ -50,6 +65,8 @@ def main():
                "--num_inference_steps", str(args.num_inference_steps),
                "--calc_face_sim", "--compare_with", subj_dir,
                "--scores_csv", args.scores_csv] + args.extra_args
+        if name in subj_types:
+            cmd += ["--class_token", subj_types[name]]
         print(f"=== {name} ===", flush=True)
         subprocess.run(cmd, check=True)
 

@@ -25,6 +25,10 @@ def main():
     add_model_args(ap)
     ap.add_argument("--subject", required=True)
     ap.add_argument("--subject_name", default=None)
+    ap.add_argument("--class_token", default="person",
+                    help="class word substituted into prompts for CLIP-T "
+                         "text scoring (the reference scores against the "
+                         "class prompt, e.g. 'man'/'woman')")
     ap.add_argument("--prompt_set", default="dreambench",
                     choices=["dreambench", "community", "all"])
     ap.add_argument("--prompt_range", default=None,
@@ -86,7 +90,7 @@ def main():
             num_inference_steps=args.num_inference_steps)
         d = os.path.join(args.out_dir, f"p{pi:02d}")
         save_images(out, d)
-        all_dirs.append((d, tmpl.format(subj_name)))
+        all_dirs.append((d, tmpl.format(args.class_token)))
         print(f"[{pi + 1}/{len(prompts)}] {prompt!r}")
 
     if args.compare_with or args.calc_face_sim:

@@ -43,6 +43,25 @@ def test_format_prompt_list():
     assert cls == ["a photo of person", "person at night"]
 
 
+def test_parse_subject_file(tmp_path):
+    """Fish-syntax subject tables (`info-subjects-celebrity.sh` format,
+    `ldm/util.py:246-288`), incl. $var aliasing."""
+    from adaface_tpu.evaluation.eval_utils import parse_subject_file
+
+    p = tmp_path / "info-subjects.sh"
+    p.write_text(
+        "#!/usr/bin/fish\n"
+        "set -g subjects  alice    bob\n"
+        "set -g subj_types woman   man\n"
+        "set -g cls_delta_strings $subj_types\n"
+        "set -g data_folder subjects-celebrity\n")
+    info, attr = parse_subject_file(str(p))
+    assert info["subjects"] == ["alice", "bob"]
+    assert info["data_folder"] == ["subjects-celebrity"]
+    assert attr["subj_types"] == {"alice": "woman", "bob": "man"}
+    assert attr["cls_delta_strings"] == {"alice": "woman", "bob": "man"}
+
+
 @pytest.fixture(scope="module")
 def clip_eval():
     return CLIPEvaluator(text_cfg=TINY_TEXT, vision_cfg=TINY_VISION,
