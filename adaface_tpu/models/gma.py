@@ -288,6 +288,37 @@ def backward_warp_by_flow(image: jax.Array, flow: jax.Array) -> jax.Array:
     return out
 
 
+def make_latent_flow_fn(gma_params: Params, feat_proj: Params,
+                        num_iters: int = 12,
+                        kernel_center_weight: float = 2.0):
+    """Flow estimator over UNet latent q features for the elastic-matching
+    loss (`reconstruct_feat_with_matching_flow`, `ldm/util.py:2284-2306`):
+    est_flow_from_feats → 3x3 smoothing → small-motion zeroing. Returns
+    flow_fn(target_q [B,C,N], src_q [B,C,N], h, w, small_motion_thres)
+    → target→src flow [B,2,h,w]."""
+
+    def flow_fn(tgt_q, src_q, h, w, small_motion_thres=0.0):
+        flow = est_flow_from_feats(gma_params, feat_proj, tgt_q, src_q,
+                                   h, w, num_iters=num_iters)
+        return smooth_flow(flow, kernel_center_weight,
+                           ignore_thres=small_motion_thres)
+
+    return flow_fn
+
+
+def flow2attn(s2c_flow: jax.Array, h: int, w: int) -> jax.Array:
+    """Flow → sparse attention matrix (`flow2attn`, `ldm/util.py:2257-2267`):
+    backward-warp a diagonal attention by the single→comp flow, giving an
+    attn from comp tokens (dim 1) to single tokens (dim 2). [B, N, N],
+    column-normalized like the softmax matching attns."""
+    b = s2c_flow.shape[0]
+    n = h * w
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=s2c_flow.dtype).reshape(
+        1, n, h, w), (b, n, h, w))
+    warped = backward_warp_by_flow(eye, s2c_flow)
+    return warped.reshape(b, n, n)
+
+
 def smooth_flow(flow: jax.Array, kernel_center_weight: float = 2.0,
                 ignore_thres: float = 0.0) -> jax.Array:
     """3x3 weighted smoothing + small-motion zeroing

@@ -53,7 +53,12 @@ def calc_elastic_matching_loss(
     w: int,
     ss_face_bboxes: jax.Array,  # [B, 4] latent coords
     sc_face_bboxes: jax.Array,  # [B, 4]
-    flow_fn: Callable | None = None,  # (src_q, dst_q) -> flow-recon fn (GMA)
+    # flow_fn(target_q [B,C,N], src_q [B,C,N], h, w, small_motion_thres)
+    # → target→src flow [B,2,h,w] (GMA `est_flow_from_feats`; see
+    # make_latent_flow_fn). None = sameloc mock, the reference default
+    # (`use_face_flow_for_sc_matching_loss=False`, `main.py:261-262`).
+    flow_fn: Callable | None = None,
+    small_motion_ignore_thres: float = 0.3,
     sc_face_shrink_ratio: float = 1.0,
     recon_scaled_loss_threses={"mc": 0.4, "ssfg": 0.4},
     recon_max_scale_of_threses: float = 5.0,
@@ -101,6 +106,21 @@ def calc_elastic_matching_loss(
     }
     eye = jnp.broadcast_to(jnp.eye(n), (b, n, n))
 
+    # flows estimated ONCE per call from the (demeaned, cropped) q features
+    # and reused across outfeat/attn_out, like the reference threads
+    # ss2sc_flow/mc2sc_flow through `calc_sc_recon_ssfg_mc_losses`
+    # (`ldm/util.py:2352-2372`)
+    flows = flow_attns = None
+    if flow_fn is not None:
+        from adaface_tpu.models.gma import backward_warp_by_flow, flow2attn
+
+        flows = {
+            "ssfg": jax.lax.stop_gradient(flow_fn(ssfg_q, scfg_q, h, w, 0.0)),
+            "mc": jax.lax.stop_gradient(
+                flow_fn(mc_q, scbg_q, h, w, small_motion_ignore_thres)),
+        }
+        flow_attns = {k: flow2attn(v, h, w) for k, v in flows.items()}
+
     losses: dict[str, jax.Array] = {}
     discard_flags = []
     for name in ("ssfg", "mc"):
@@ -131,13 +151,18 @@ def calc_elastic_matching_loss(
 
         for name in ("ssfg", "mc"):
             target = targets[name].transpose(0, 2, 1)  # [B, N, C]
+            if flows is not None:
+                # `reconstruct_feat_with_matching_flow`: warp the src feat
+                # onto the target layout by the target→src flow
+                flow_recon = backward_warp_by_flow(
+                    srcs[name].reshape(b, c, h, w), flows[name]
+                ).reshape(b, c, n).transpose(0, 2, 1)
+            else:
+                # sameloc mock — margins effectively disable the candidate
+                flow_recon = srcs[name].transpose(0, 2, 1)
             cands = {
                 "attn_agg": _recon_with_attn(srcs[name], sc_attns[name]),
-                # flow candidate: GMA when provided, sameloc mock otherwise
-                # (reference default: use_face_flow=False)
-                "flow": (flow_fn(srcs[name], sc_attns[name])
-                         if flow_fn is not None
-                         else srcs[name].transpose(0, 2, 1)),
+                "flow": flow_recon,
                 "sameloc": srcs[name].transpose(0, 2, 1),
             }
             token_losses = {
@@ -160,7 +185,14 @@ def calc_elastic_matching_loss(
             adv_n = (adv_best - adv_best.mean(-1, keepdims=True)) / (
                 adv_best.std(-1, keepdims=True) + 1e-5)
             weights = jax.nn.sigmoid(5.0 * adv_n)[:, None, :]  # [B,1,N]
-            sparse_attn = eye  # both sparse schemes reduce to identity w/o flow
+            if flow_attns is not None:
+                # per-target-token selection between the flow-warped attn
+                # and sameloc (`gather` on max advantage, `ldm/util.py:
+                # 2484-2491`); columns stay normalized over sc tokens
+                pick_flow = (adv[0] >= adv[1])[:, None, :]  # [B,1,N]
+                sparse_attn = jnp.where(pick_flow, flow_attns[name], eye)
+            else:
+                sparse_attn = eye  # both sparse schemes are identity w/o flow
             ens = sparse_attn + sc_attns[name]
             w_sc = jax.lax.stop_gradient(
                 jnp.einsum("bon,bmn->bom", weights, ens)).transpose(0, 2, 1)
@@ -192,6 +224,7 @@ def calc_comp_subj_bg_preserve_loss(
     ss_face_bboxes: jax.Array,
     sc_face_bboxes: jax.Array,
     flow_fn: Callable | None = None,
+    small_motion_ignore_thres: float = 0.3,
     layer_weights: dict[int, float] = {22: 1 / 3, 23: 1 / 3, 24: 1 / 3},
     sc_recon_ssfg_loss_scale: float = 0.1,
     sc_recon_mc_loss_scale: float = 0.2,
@@ -218,7 +251,8 @@ def calc_comp_subj_bg_preserve_loss(
             hh = ww = int(round(n ** 0.5))
         losses = calc_elastic_matching_loss(
             q, attn_outs[layer], outfeat, hh, ww,
-            ss_face_bboxes, sc_face_bboxes, flow_fn=flow_fn)
+            ss_face_bboxes, sc_face_bboxes, flow_fn=flow_fn,
+            small_motion_ignore_thres=small_motion_ignore_thres)
         total = total + w * (
             losses["sc_recon_ssfg_min"] * sc_recon_ssfg_loss_scale
             + losses["sc_recon_mc_min"] * sc_recon_mc_loss_scale)

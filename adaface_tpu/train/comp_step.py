@@ -65,6 +65,12 @@ class CompDistillConfig:
     # but leaves it uncalled at this snapshot, so we default to 0.0 for
     # behavioral parity — set >0 in YAML to enable).
     p_init_fg_from_training_image: float = 0.0
+    # GMA latent-flow candidate in the elastic-matching loss
+    # (`--use_face_flow_for_sc_matching_loss`, default False in the
+    # reference, `main.py:261-262`). When True, `frozen['flow']` must hold
+    # {'gma': gma params, 'proj': make_feat_proj params}.
+    use_face_flow: bool = False
+    small_motion_ignore_thres: float = 0.3
 
 
 def prime_comp_x_start(
@@ -243,8 +249,16 @@ def comp_distill_loss_fn(
         last, subj_mask_1b, batch["prompt_emb_mask"],
         batch["prompt_pad_mask"], batch.get("sc_fg_mask_percent", 1.0))
 
+    flow_fn = None
+    if comp_cfg.use_face_flow and "flow" in frozen:
+        from adaface_tpu.models.gma import make_latent_flow_fn
+
+        flow_fn = make_latent_flow_fn(frozen["flow"]["gma"],
+                                      frozen["flow"]["proj"])
     loss_fg_bg, em_metrics = calc_comp_subj_bg_preserve_loss(
-        last, batch["ss_face_bboxes"], batch["sc_face_bboxes"])
+        last, batch["ss_face_bboxes"], batch["sc_face_bboxes"],
+        flow_fn=flow_fn,
+        small_motion_ignore_thres=comp_cfg.small_motion_ignore_thres)
 
     loss_cross_t = calc_subj_attn_cross_t_diff_loss(
         prev, last, subj_mask4)

@@ -136,6 +136,76 @@ def test_elastic_matching_loss_shapes_and_grads():
     assert np.abs(np.asarray(gq)).sum() > 0
 
 
+def test_elastic_matching_with_flow():
+    """Flow-enabled elastic matching (`--use_face_flow_for_sc_matching_
+    loss`): an identity flow must make the flow candidate equal sameloc,
+    and a constant-shift flow must warp the recon accordingly; flow2attn
+    columns stay normalized."""
+    from adaface_tpu.models.gma import backward_warp_by_flow, flow2attn
+
+    cap = _fake_capture()
+    hw = 8
+    n = hw * hw
+    bbox = jnp.asarray([[1.0, 1.0, 6.0, 6.0]])
+    q = cap["q2"][24]
+    feat = cap["attn_out"][24]
+    outfeat = cap["outfeat"][24].reshape(4, 16, n)
+
+    def zero_flow(tgt, src, h, w, thres=0.0):
+        return jnp.zeros((tgt.shape[0], 2, h, w))
+
+    base = calc_elastic_matching_loss(q, feat, outfeat, hw, hw, bbox, bbox)
+    with_flow = calc_elastic_matching_loss(
+        q, feat, outfeat, hw, hw, bbox, bbox, flow_fn=zero_flow)
+    # identity flow == sameloc candidate → identical min-recon losses
+    np.testing.assert_allclose(
+        float(with_flow["sc_recon_ssfg_min"]),
+        float(base["sc_recon_ssfg_min"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(with_flow["sc_recon_ssfg_flow"]),
+        float(with_flow["sc_recon_ssfg_sameloc"]), rtol=1e-5)
+
+    # flow2attn: identity flow → identity attn; attn columns normalized
+    fa = flow2attn(jnp.zeros((1, 2, hw, hw)), hw, hw)
+    np.testing.assert_allclose(np.asarray(fa[0]), np.eye(n), atol=1e-6)
+    shift = jnp.zeros((1, 2, hw, hw)).at[:, 0].set(1.0)  # dx=1
+    fa_s = flow2attn(shift, hw, hw)
+    np.testing.assert_allclose(np.asarray(fa_s.sum(1)).max(), 1.0, atol=1e-5)
+    # warping a feature by the flow equals aggregating with flow2attn
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 5, hw, hw))
+    warped = backward_warp_by_flow(img, shift).reshape(1, 5, n)
+    agg = jnp.einsum("bcn,bnm->bcm", img.reshape(1, 5, n), fa_s)
+    np.testing.assert_allclose(np.asarray(warped), np.asarray(agg),
+                               atol=1e-5)
+
+
+def test_preserve_loss_with_gma_flow():
+    """calc_comp_subj_bg_preserve_loss with the real GMA latent-flow fn
+    (make_latent_flow_fn) — finite loss, grads still flow to features."""
+    from adaface_tpu.models.gma import (
+        init_gma_params, make_feat_proj, make_latent_flow_fn)
+    from adaface_tpu.train.comp_losses import calc_comp_subj_bg_preserve_loss
+
+    cap = _fake_capture()
+    c = cap["q2"][24].shape[1]
+    gma = init_gma_params(jax.random.PRNGKey(0))
+    proj = make_feat_proj(jax.random.PRNGKey(1), c_in=c)
+    flow_fn = make_latent_flow_fn(gma, proj, num_iters=2)
+    bbox = jnp.asarray([[1.0, 1.0, 6.0, 6.0]])
+
+    def loss(feat):
+        cap2 = dict(cap, attn_out={24: feat})
+        total, _ = calc_comp_subj_bg_preserve_loss(
+            cap2, bbox, bbox, flow_fn=flow_fn,
+            layer_weights={24: 1.0})
+        return total
+
+    val, g = jax.value_and_grad(loss)(cap["attn_out"][24])
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.split(np.asarray(g), 4, axis=0)[1]).sum() > 0
+
+
 def test_comp_subj_bg_preserve_loss():
     cap = _fake_capture()
     bbox = jnp.asarray([[1.0, 1.0, 6.0, 6.0]])
