@@ -34,6 +34,20 @@ def flatten_tree(tree, prefix: str = "") -> StateDict:
     return flat
 
 
+def unflatten_tree(flat: Mapping[str, np.ndarray]) -> dict:
+    """Flat dot-keyed state dict → nested dict pytree (inverse of
+    flatten_tree up to list/tuple nodes, which come back as int-keyed
+    dicts — jax tree ops treat those the same)."""
+    tree: dict = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
 # ---------------------------------------------------------------------------
 # io
 # ---------------------------------------------------------------------------

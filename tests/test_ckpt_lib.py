@@ -107,3 +107,15 @@ def test_load_sd_towers_diffusers_unet(tmp_path):
     finally:
         m.SD15_UNET = orig
     assert set(towers) == {"unet"}
+
+
+def test_flatten_unflatten_roundtrip():
+    from adaface_tpu.tools.ckpt_lib import flatten_tree, unflatten_tree
+
+    tree = {"a": {"b": np.ones((2,)), "c": np.zeros((3,))},
+            "d": np.full((1,), 7.0)}
+    flat = flatten_tree(tree)
+    assert set(flat) == {"a.b", "a.c", "d"}
+    back = unflatten_tree(flat)
+    np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+    np.testing.assert_array_equal(back["d"], tree["d"])
