@@ -68,7 +68,7 @@ class CompDistillConfig:
     # GMA latent-flow candidate in the elastic-matching loss
     # (`--use_face_flow_for_sc_matching_loss`, default False in the
     # reference, `main.py:261-262`). When True, `frozen['flow']` must hold
-    # {'gma': gma params, 'proj': make_feat_proj params}.
+    # {'gma': gma params} (convert_gma_state_dict of gma-sintel.pth).
     use_face_flow: bool = False
     small_motion_ignore_thres: float = 0.3
 
@@ -253,8 +253,7 @@ def comp_distill_loss_fn(
     if comp_cfg.use_face_flow and "flow" in frozen:
         from adaface_tpu.models.gma import make_latent_flow_fn
 
-        flow_fn = make_latent_flow_fn(frozen["flow"]["gma"],
-                                      frozen["flow"]["proj"])
+        flow_fn = make_latent_flow_fn(frozen["flow"]["gma"])
     loss_fg_bg, em_metrics = calc_comp_subj_bg_preserve_loss(
         last, batch["ss_face_bboxes"], batch["sc_face_bboxes"],
         flow_fn=flow_fn,

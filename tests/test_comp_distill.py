@@ -182,15 +182,12 @@ def test_elastic_matching_with_flow():
 def test_preserve_loss_with_gma_flow():
     """calc_comp_subj_bg_preserve_loss with the real GMA latent-flow fn
     (make_latent_flow_fn) — finite loss, grads still flow to features."""
-    from adaface_tpu.models.gma import (
-        init_gma_params, make_feat_proj, make_latent_flow_fn)
+    from adaface_tpu.models.gma import init_gma_params, make_latent_flow_fn
     from adaface_tpu.train.comp_losses import calc_comp_subj_bg_preserve_loss
 
     cap = _fake_capture()
-    c = cap["q2"][24].shape[1]
     gma = init_gma_params(jax.random.PRNGKey(0))
-    proj = make_feat_proj(jax.random.PRNGKey(1), c_in=c)
-    flow_fn = make_latent_flow_fn(gma, proj, num_iters=2)
+    flow_fn = make_latent_flow_fn(gma, num_iters=2)
     bbox = jnp.asarray([[1.0, 1.0, 6.0, 6.0]])
 
     def loss(feat):

@@ -136,22 +136,21 @@ def build_and_train(cfg: dict, args):
     if comp_cfg.use_face_flow:
         # GMA latent flow for the elastic-matching loss
         # (`--use_face_flow_for_sc_matching_loss`, `main.py:261-262`)
-        from adaface_tpu.models.gma import init_gma_params, make_feat_proj
-        from adaface_tpu.models.unet import SD15_UNET as _U
+        from adaface_tpu.models.gma import init_gma_params
 
-        with jax.default_device(cpu):
-            frozen["flow"] = {
-                "gma": init_gma_params(jax.random.fold_in(rng, 5)),
-                # q2 captures at layers 22-24 live in the last up block
-                "proj": make_feat_proj(jax.random.fold_in(rng, 6),
-                                       c_in=_U.block_channels[0]),
-            }
         gma_path = cfg.get("comp_distill", {}).get("gma_ckpt")
-        if gma_path:
-            from adaface_tpu.tools.ckpt_lib import (
-                load_state_dict, unflatten_tree)
+        with jax.default_device(cpu):
+            if gma_path:
+                # torch gma-sintel.pth (frozen in the reference,
+                # `ddpm.py:652-660`) or a flat npz of converted params
+                from adaface_tpu.models.gma import convert_gma_state_dict
+                from adaface_tpu.tools.ckpt_lib import load_state_dict
 
-            frozen["flow"]["gma"] = unflatten_tree(load_state_dict(gma_path))
+                frozen["flow"] = {
+                    "gma": convert_gma_state_dict(load_state_dict(gma_path))}
+            else:
+                frozen["flow"] = {
+                    "gma": init_gma_params(jax.random.fold_in(rng, 5))}
         print("GMA latent flow enabled for elastic matching")
 
     # wire the YAML `model:` loss weights / skip weights into TrainConfig
