@@ -61,9 +61,12 @@ def _num_layers(sd, stem: str) -> int:
 
 
 def convert_text_model(
-    sd: Mapping[str, np.ndarray], prefix: str = "text_model."
+    sd: Mapping[str, np.ndarray], prefix: str = "text_model.",
+    num_heads: int | None = None,
 ) -> tuple[dict, CLIPTextConfig]:
-    """HF CLIPTextModel state dict → (params, config)."""
+    """HF CLIPTextModel state dict → (params, config). num_heads can't be
+    recovered from weight shapes; defaults to head_dim 64 (every shipped
+    CLIP text tower) — pass explicitly for nonstandard models."""
     tok = np.asarray(sd[f"{prefix}embeddings.token_embedding.weight"])
     pos = np.asarray(sd[f"{prefix}embeddings.position_embedding.weight"])
     stem = f"{prefix}encoder"
@@ -75,7 +78,7 @@ def convert_text_model(
         vocab_size=tok.shape[0],
         hidden_size=d,
         num_layers=n_layers,
-        num_heads=d // 64,
+        num_heads=num_heads if num_heads is not None else max(d // 64, 1),
         intermediate_size=fc1.shape[0],
         max_position_embeddings=pos.shape[0],
     )
