@@ -159,8 +159,9 @@ def calc_ref_cosine_loss(
         return jnp.sqrt((x * x).sum(-1) + 1e-12)
 
     cos = (d * r_pow).sum(-1) / (safe_norm(d) * safe_norm(r_pow) + 1e-8)
-    label = 1.0 if aim_to_align else -1.0
-    per_tok = 1.0 - label * cos
+    # torch F.cosine_embedding_loss: target +1 → 1-cos; target -1 →
+    # max(0, cos - margin) with margin 0 (NOT 1+cos)
+    per_tok = 1.0 - cos if aim_to_align else jax.nn.relu(cos)
     if emb_mask is not None:
         w = emb_mask.astype(jnp.float32)
         return (per_tok * w).sum() / (w.sum() + 1e-6)

@@ -68,11 +68,20 @@ def gen_gradient_scaler(scale: float):
     return lambda x: gradient_scale(x, float(scale))
 
 
-def ortho_subtract(a: jax.Array, b: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """a minus its projection onto b, along the last axis."""
+def ortho_subtract(a: jax.Array, b: jax.Array, b_discount: float = 1.0,
+                   on_last_n_dims: int = 1, eps: float = 1e-6) -> jax.Array:
+    """a minus (b_discount ×) its projection onto b, over the last
+    on_last_n_dims axes (`ortho_subtract`, `ldm/util.py:296-332`)."""
+    if on_last_n_dims > 1:
+        a, b = jnp.broadcast_arrays(a, b)
+        shape = a.shape
+        a = a.reshape(*shape[:-on_last_n_dims], -1)
+        b = b.reshape(*shape[:-on_last_n_dims], -1)
+        out = ortho_subtract(a, b, b_discount=b_discount, eps=eps)
+        return out.reshape(shape)
     dot = jnp.sum(a * b, axis=-1, keepdims=True)
     norm_sq = jnp.sum(b * b, axis=-1, keepdims=True)
-    return a - dot / (norm_sq + eps) * b
+    return a - dot / (norm_sq + eps) * b * b_discount
 
 
 def anneal_value(training_percent: float, final_percent: float,

@@ -1,0 +1,117 @@
+"""Golden parity for the loss library against the reference `ldm.util`.
+
+The reference module imports with torchvision stubbed; each test feeds
+identical numpy inputs to both implementations. Reduction conventions:
+the reference normalizes the masked cosine per sample then averages over
+the batch, ours is a global weighted mean — identical for B=1, which is
+what these tests use (the per-sample order is covered by the reference's
+own batching, not a semantic we need to mirror for B=1 training blocks).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from adaface_tpu.train.losses import (
+    calc_prompt_emb_delta_loss,
+    calc_recon_loss,
+    calc_ref_cosine_loss,
+    ortho_subtract,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_util():
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: None
+        tvu.draw_bounding_boxes = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    try:
+        import ldm.util as lu
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    return lu
+
+
+def test_ortho_subtract_matches(ref_util):
+    rs = np.random.RandomState(0)
+    a = rs.randn(2, 5, 16).astype(np.float32)
+    b = rs.randn(2, 5, 16).astype(np.float32)
+    want = ref_util.ortho_subtract(torch.from_numpy(a),
+                                   torch.from_numpy(b)).numpy()
+    got = np.asarray(ortho_subtract(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # residual ⊥ b
+    assert np.abs((got * b).sum(-1)).max() < 1e-3
+    # b_discount scaling
+    want_d = ref_util.ortho_subtract(torch.from_numpy(a),
+                                     torch.from_numpy(b),
+                                     b_discount=0.5).numpy()
+    got_d = np.asarray(ortho_subtract(jnp.asarray(a), jnp.asarray(b),
+                                      b_discount=0.5))
+    np.testing.assert_allclose(got_d, want_d, atol=1e-5)
+
+
+def test_ref_cosine_loss_matches(ref_util):
+    rs = np.random.RandomState(1)
+    d = rs.randn(1, 7, 16).astype(np.float32)
+    r = rs.randn(1, 7, 16).astype(np.float32)
+    mask = (rs.rand(1, 7, 1) > 0.3).astype(np.float32)
+    for demeans in ([False, False], [False, True], [True, True]):
+        for aim in (True, False):
+            want = float(ref_util.calc_ref_cosine_loss(
+                torch.from_numpy(d), torch.from_numpy(r),
+                emb_mask=torch.from_numpy(mask), do_demeans=demeans,
+                first_n_dims_into_instances=2, ref_grad_scale=0.05,
+                aim_to_align=aim))
+            got = float(calc_ref_cosine_loss(
+                jnp.asarray(d), jnp.asarray(r),
+                emb_mask=jnp.asarray(mask[..., 0]),
+                do_demeans=tuple(demeans), ref_grad_scale=0.05,
+                aim_to_align=aim))
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"{demeans} {aim}")
+
+
+def test_prompt_emb_delta_loss_matches(ref_util):
+    rs = np.random.RandomState(2)
+    embs = rs.randn(4, 9, 16).astype(np.float32)
+    mask = np.ones((4, 9, 1), np.float32)
+    mask[1, 6:] = 0  # comp prompt longer than single; pad differences
+    mask[3, 6:] = 0
+    mask[0, 4:] = 0
+    mask[2, 4:] = 0
+    want = float(ref_util.calc_prompt_emb_delta_loss(
+        torch.from_numpy(embs), torch.from_numpy(mask)))
+    got = float(calc_prompt_emb_delta_loss(
+        jnp.asarray(embs), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_recon_loss_matches(ref_util):
+    rs = np.random.RandomState(3)
+    pred = rs.randn(2, 4, 8, 8).astype(np.float32)
+    gt = rs.randn(2, 4, 8, 8).astype(np.float32)
+    img_mask = (rs.rand(2, 1, 8, 8) > 0.2).astype(np.float32)
+    fg_mask = (rs.rand(2, 1, 8, 8) > 0.5).astype(np.float32)
+    want, _ = ref_util.calc_recon_loss(
+        torch.nn.functional.mse_loss, torch.from_numpy(pred),
+        torch.from_numpy(gt), torch.from_numpy(img_mask),
+        torch.from_numpy(fg_mask), fg_pixel_weight=2.0,
+        bg_pixel_weight=0.5)
+    got = float(calc_recon_loss(
+        jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(img_mask),
+        jnp.asarray(fg_mask), fg_pixel_weight=2.0, bg_pixel_weight=0.5))
+    np.testing.assert_allclose(got, float(want), atol=1e-5)
