@@ -29,15 +29,43 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from adaface_tpu.train.face_losses import bilinear_crop
-
 LayerActs = dict[int, jax.Array]
 
 
 def _crop_resize_feat(feat_4d: jax.Array, bboxes: jax.Array) -> jax.Array:
-    """[B,C,H,W] + latent-space bboxes [B,4] → crops resized back to [B,C,H,W]."""
-    h = feat_4d.shape[-2]
-    return bilinear_crop(feat_4d, bboxes, h)
+    """[B,C,H,W] + latent-space bboxes [B,4] (x0,y0,x1,y1) → crops resized
+    back to [B,C,H,W]. Matches the reference's integer-box slice +
+    `F.interpolate(mode='bilinear', align_corners=False)`
+    (`ldm/util.py:2576-2586`): sample centers (i+0.5)·crop/H − 0.5,
+    border-replicated inside the crop."""
+    b, c, h, w = feat_4d.shape
+    x0, y0, x1, y1 = [bboxes[:, i].astype(jnp.float32) for i in range(4)]
+    cw = jnp.maximum(x1 - x0, 1.0)
+    ch = jnp.maximum(y1 - y0, 1.0)
+    ty = (jnp.arange(h, dtype=jnp.float32) + 0.5)[None] * (ch[:, None] / h) - 0.5
+    tx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None] * (cw[:, None] / w) - 0.5
+    ys = y0[:, None] + jnp.clip(ty, 0.0, (ch - 1.0)[:, None])  # [B, H]
+    xs = x0[:, None] + jnp.clip(tx, 0.0, (cw - 1.0)[:, None])
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+
+    y0i = jnp.floor(ys).astype(jnp.int32)
+    x0i = jnp.floor(xs).astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    wy = (ys - y0i)[:, None, :, None]
+    wx = (xs - x0i)[:, None, None, :]
+
+    def per_image(img, yia, yib, xia, xib):
+        g00 = img[:, yia, :][:, :, xia]
+        g01 = img[:, yia, :][:, :, xib]
+        g10 = img[:, yib, :][:, :, xia]
+        g11 = img[:, yib, :][:, :, xib]
+        return g00, g01, g10, g11
+
+    g00, g01, g10, g11 = jax.vmap(per_image)(feat_4d, y0i, y1i, x0i, x1i)
+    return (g00 * (1 - wy) * (1 - wx) + g01 * (1 - wy) * wx
+            + g10 * wy * (1 - wx) + g11 * wy * wx)
 
 
 def _recon_with_attn(feat: jax.Array, prob: jax.Array) -> jax.Array:

@@ -115,3 +115,50 @@ def test_recon_loss_matches(ref_util):
         jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(img_mask),
         jnp.asarray(fg_mask), fg_pixel_weight=2.0, bg_pixel_weight=0.5))
     np.testing.assert_allclose(got, float(want), atol=1e-5)
+
+
+def test_elastic_matching_matches_reference(ref_util):
+    """Full elastic-matching parity (`calc_elastic_matching_loss`,
+    `ldm/util.py:2549-2758` + `calc_sc_recon_ssfg_mc_losses:2314-2548`),
+    flow_model=None (the reference default): crop+resize conventions,
+    fg/bg demeaning, margin-weighted per-token min, loss-scale capping,
+    and the sparse-attn distillation."""
+    from adaface_tpu.train.comp_losses import calc_elastic_matching_loss
+
+    rs = np.random.RandomState(5)
+    hw, c = 8, 12
+    n = hw * hw
+    # small magnitudes so no loss crosses the discard threshold (where the
+    # reference excludes and we zero — semantics diverge only there)
+    q = rs.randn(4, c, n).astype(np.float32)
+    attn_out = (rs.randn(4, c, n) * 0.1).astype(np.float32)
+    outfeat = (rs.randn(4, c, n) * 0.1).astype(np.float32)
+    ssb = np.asarray([[1, 2, 6, 7]], np.int64)  # x0,y0,x1,y1
+    scb = np.asarray([[2, 1, 7, 6]], np.int64)
+
+    want_losses, want_sparse, _, want_discard = \
+        ref_util.calc_elastic_matching_loss(
+            24, None, torch.from_numpy(q), torch.from_numpy(attn_out),
+            torch.from_numpy(outfeat), hw, hw, ssb, scb)
+
+    got = calc_elastic_matching_loss(
+        jnp.asarray(q), jnp.asarray(attn_out), jnp.asarray(outfeat),
+        hw, hw, jnp.asarray(ssb), jnp.asarray(scb))
+
+    for name in ("ssfg", "mc"):
+        ref_attn, ref_flow, ref_sameloc, ref_min = [
+            float(v) for v in want_losses[name]]
+        np.testing.assert_allclose(
+            float(got[f"sc_recon_{name}_attn_agg"]), ref_attn, rtol=1e-4,
+            err_msg=f"{name} attn_agg")
+        np.testing.assert_allclose(
+            float(got[f"sc_recon_{name}_sameloc"]), ref_sameloc, rtol=1e-4,
+            err_msg=f"{name} sameloc")
+        np.testing.assert_allclose(
+            float(got[f"sc_recon_{name}_min"]), ref_min, rtol=1e-4,
+            err_msg=f"{name} min")
+        np.testing.assert_allclose(
+            float(got[f"sc_to_{name}_sparse_attns_distill"]),
+            float(want_sparse[name]), rtol=1e-3,
+            err_msg=f"{name} sparse distill")
+    assert float(got["discarded_loss_ratio"]) == float(want_discard) == 0.0
