@@ -71,7 +71,9 @@ def var_of_laplacian(images: jax.Array, scale: float = 10.0) -> jax.Array:
     lap = jax.lax.conv_general_dilated(
         (gray * scale).transpose(0, 2, 3, 1).astype(jnp.float32), k, (1, 1),
         [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return lap.reshape(b, -1).var(axis=1)
+    # ddof=1: torch .var() is unbiased; the redenoise quality gate compares
+    # against thresholds calibrated on that convention
+    return lap.reshape(b, -1).var(axis=1, ddof=1)
 
 
 def calc_arcface_adv_grad(

@@ -162,3 +162,43 @@ def test_elastic_matching_matches_reference(ref_util):
             float(want_sparse[name]), rtol=1e-3,
             err_msg=f"{name} sparse distill")
     assert float(got["discarded_loss_ratio"]) == float(want_discard) == 0.0
+
+
+def test_mb_suppress_loss_matches(ref_util):
+    """calc_subj_masked_bg_suppress_loss (`ldm/util.py:1822-1918`): subject
+    attention summed over K_subj embeddings, bg excess over tolerance,
+    mean over positive-excess positions."""
+    from adaface_tpu.train.losses import calc_subj_masked_bg_suppress_loss
+
+    rs = np.random.RandomState(7)
+    b, heads, s = 1, 2, 12
+    hw = 8
+    nq = hw * hw
+    attn = rs.rand(b, heads, nq, s).astype(np.float32)
+    attn /= attn.sum(-1, keepdims=True)
+    attn_t = torch.from_numpy(attn)
+    # K_subj=3 subject embeddings at token positions 5,6,7
+    subj_idx = (torch.zeros(3, dtype=torch.long),
+                torch.tensor([5, 6, 7]))
+    fg = np.zeros((b, 1, hw, hw), np.float32)
+    fg[:, :, 2:6, 2:6] = 1.0
+    want = float(ref_util.calc_subj_masked_bg_suppress_loss(
+        {23: attn_t, 24: attn_t * 0.5}, subj_idx, b,
+        torch.from_numpy(fg)))
+
+    subj_mask = np.zeros((b, s), np.float32)
+    subj_mask[:, 5:8] = 1.0
+    got = float(calc_subj_masked_bg_suppress_loss(
+        {23: jnp.asarray(attn), 24: jnp.asarray(attn * 0.5)},
+        jnp.asarray(subj_mask), jnp.asarray(fg)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_var_of_laplacian_matches(ref_util):
+    from adaface_tpu.train.recon_multistep import var_of_laplacian
+
+    rs = np.random.RandomState(8)
+    imgs = rs.rand(3, 3, 16, 16).astype(np.float32)
+    want = ref_util.var_of_laplacian(torch.from_numpy(imgs)).numpy()
+    got = np.asarray(var_of_laplacian(jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
