@@ -342,20 +342,25 @@ def calc_sc_rep_attn_distill_loss(
 def calc_subj_attn_cross_t_diff_loss(
     ca_layers_activations: dict[str, LayerActs],
     future_ca_layers_activations: dict[str, LayerActs],
-    subj_mask: jax.Array,  # [B, S]
-    layer_weights: dict[int, float] = {22: 1 / 3, 23: 1 / 3, 24: 1 / 3},
+    subj_mask_1b: jax.Array,  # [B, S] subject-token positions
+    layer_weights: dict[int, float] = {23: 0.5, 24: 0.5},
 ):
     """Subject-attention consistency across consecutive denoising steps
-    (`calc_subj_attn_cross_t_diff_loss:2123-…`)."""
-    total, wsum = jnp.float32(0.0), 0.0
+    (`calc_subj_attn_cross_t_diff_loss`, `ldm/util.py:2123-2146`): MSE of
+    the subj-comp block's subject-token attention columns against the next
+    step's (detached), ×10, layer-weighted. NOTE the reference computes
+    this as a monitor only — its contribution to the total loss is
+    disabled (`ddpm.py:3553-3556`)."""
+    total = jnp.float32(0.0)
+    m = subj_mask_1b.astype(jnp.float32)[:, None, None, :]  # [B,1,1,S]
     for layer, w in layer_weights.items():
         cur = ca_layers_activations["attn"].get(layer)
         fut = future_ca_layers_activations["attn"].get(layer)
         if cur is None or fut is None:
             continue
-        m = subj_mask[:, None, None, :]
-        cur_subj = (cur * m).sum(-1)
-        fut_subj = jax.lax.stop_gradient((fut * m).sum(-1))
-        total = total + w * ((cur_subj - fut_subj) ** 2).mean()
-        wsum += w
-    return total / max(wsum, 1e-6)
+        _, sc, _, _ = jnp.split(cur, 4, axis=0)
+        _, sc2, _, _ = jnp.split(fut, 4, axis=0)
+        d = (sc - jax.lax.stop_gradient(sc2)) ** 2  # [B,H,Nq,S]
+        mm = jnp.broadcast_to(m, d.shape)
+        total = total + w * 10.0 * (d * mm).sum() / (mm.sum() + 1e-6)
+    return total

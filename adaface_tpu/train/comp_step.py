@@ -57,7 +57,9 @@ class CompDistillConfig:
     attn_norm_weight: float = 0.02
     rep_distill_weight: float = 0.02
     fg_bg_preserve_weight: float = 1.0
-    cross_t_diff_weight: float = 0.05
+    # monitor-only in the reference: the contribution to the total loss is
+    # commented out ("* 0 => DISABLED", `ddpm.py:3553-3556`)
+    cross_t_diff_weight: float = 0.0
     mb_suppress_weight: float = 0.1
     prompt_emb_delta_weight: float = 1e-4
     # Probability of seeding the comp x_start from the training image's
@@ -260,7 +262,7 @@ def comp_distill_loss_fn(
         small_motion_ignore_thres=comp_cfg.small_motion_ignore_thres)
 
     loss_cross_t = calc_subj_attn_cross_t_diff_loss(
-        prev, last, subj_mask4)
+        prev, last, subj_mask_1b)
 
     # mb-suppress on the sc block attn only
     sc_attn = {k: jnp.split(v, 4)[1] for k, v in last["attn"].items()}

@@ -228,7 +228,7 @@ def test_rep_distill_gating():
 
 def test_cross_t_diff_loss():
     a, b_ = _fake_capture(seed=0), _fake_capture(seed=1)
-    subj = jnp.zeros((4, 12)).at[:, 2:5].set(1.0)
+    subj = jnp.zeros((1, 12)).at[:, 2:5].set(1.0)  # [B, S] 1-block mask
     loss = calc_subj_attn_cross_t_diff_loss(a, b_, subj,
                                             layer_weights={24: 1.0})
     assert float(loss) > 0

@@ -202,3 +202,78 @@ def test_var_of_laplacian_matches(ref_util):
     want = ref_util.var_of_laplacian(torch.from_numpy(imgs)).numpy()
     got = np.asarray(var_of_laplacian(jnp.asarray(imgs)))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def _attn_kv_capture(rs, b4=4, heads=2, nq=16, s=12, c=10):
+    attn = rs.rand(b4, heads, nq, s).astype(np.float32)
+    attn /= attn.sum(-1, keepdims=True)
+    k = rs.randn(b4, c, s).astype(np.float32)
+    v = rs.randn(b4, c, s).astype(np.float32)
+    return attn, k, v
+
+
+def test_rep_attn_distill_matches(ref_util):
+    """calc_sc_rep_attn_distill_loss (`ldm/util.py:2047-2122`): sc→sc_rep
+    attention MSE (×S×10), subject-K/V to subj-single, non-subject-K/V to
+    cls-comp via masked_l2_loss over non-subj+pad positions."""
+    from adaface_tpu.train.comp_losses import calc_sc_rep_attn_distill_loss
+
+    rs = np.random.RandomState(9)
+    s = 12
+    attn, k, v = _attn_kv_capture(rs, s=s)
+    cap_t = {"attn": {23: torch.from_numpy(attn)},
+             "k": {23: torch.from_numpy(k)},
+             "v": {23: torch.from_numpy(v)}}
+    subj_idx = (torch.zeros(3, dtype=torch.long), torch.tensor([4, 5, 6]))
+    emb = np.zeros((4, s, 1), np.float32)
+    emb[:, :9] = 1.0  # 9 real tokens
+    pad = 1.0 - emb
+    want = ref_util.calc_sc_rep_attn_distill_loss(
+        cap_t, subj_idx, torch.from_numpy(emb), torch.from_numpy(pad),
+        sc_fg_mask_percent=0.5)
+    want = [float(x) for x in want]  # attn, subj_k, nonsubj_k, subj_v, nonsubj_v
+
+    subj_mask = np.zeros((1, s), np.float32)
+    subj_mask[:, 4:7] = 1.0
+    got = calc_sc_rep_attn_distill_loss(
+        {"attn": {23: jnp.asarray(attn)}, "k": {23: jnp.asarray(k)},
+         "v": {23: jnp.asarray(v)}},
+        jnp.asarray(subj_mask), jnp.asarray(emb), jnp.asarray(pad),
+        sc_fg_mask_percent=0.5)
+    order = ("subj_attn", "subj_k", "nonsubj_k", "subj_v", "nonsubj_v")
+    for name, ref_v in zip(order, want):
+        np.testing.assert_allclose(float(got[name]), ref_v, rtol=1e-4,
+                                   err_msg=name)
+    # gate: below FG_THRES everything is 0 on both sides
+    want0 = ref_util.calc_sc_rep_attn_distill_loss(
+        cap_t, subj_idx, torch.from_numpy(emb), torch.from_numpy(pad),
+        sc_fg_mask_percent=0.05)
+    got0 = calc_sc_rep_attn_distill_loss(
+        {"attn": {23: jnp.asarray(attn)}, "k": {23: jnp.asarray(k)},
+         "v": {23: jnp.asarray(v)}},
+        jnp.asarray(subj_mask), jnp.asarray(emb), jnp.asarray(pad),
+        sc_fg_mask_percent=0.05)
+    assert all(float(x) == 0.0 for x in want0)
+    assert all(float(x) == 0.0 for x in got0.values())
+
+
+def test_cross_t_diff_matches(ref_util):
+    """calc_subj_attn_cross_t_diff_loss (`ldm/util.py:2123-2146`)."""
+    from adaface_tpu.train.comp_losses import calc_subj_attn_cross_t_diff_loss
+
+    rs = np.random.RandomState(10)
+    s = 12
+    attn1, _, _ = _attn_kv_capture(rs, s=s)
+    attn2, _, _ = _attn_kv_capture(rs, s=s)
+    subj_idx = (torch.zeros(3, dtype=torch.long), torch.tensor([4, 5, 6]))
+    want = float(ref_util.calc_subj_attn_cross_t_diff_loss(
+        {"attn": {23: torch.from_numpy(attn1), 24: torch.from_numpy(attn1 * 0.9)}},
+        {"attn": {23: torch.from_numpy(attn2), 24: torch.from_numpy(attn2 * 0.9)}},
+        subj_idx))
+    subj_mask = np.zeros((1, s), np.float32)
+    subj_mask[:, 4:7] = 1.0
+    got = float(calc_subj_attn_cross_t_diff_loss(
+        {"attn": {23: jnp.asarray(attn1), 24: jnp.asarray(attn1 * 0.9)}},
+        {"attn": {23: jnp.asarray(attn2), 24: jnp.asarray(attn2 * 0.9)}},
+        jnp.asarray(subj_mask)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
