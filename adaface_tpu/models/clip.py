@@ -14,10 +14,11 @@ monkey-patched behaviors turned into explicit arguments (SURVEY.md §7
   sequence axis (token-interleaved: [t0,t0,t1,t1,…]); `extend_mkv` /
   `squeeze_mkv` weight surgery.
 - `CLIPVisionModelWithMask` (`adaface/util.py:316-414`): image mask
-  downsampled to the patch grid, class token always attended.
-  NOTE deviation: the reference adds the raw 0/1 pairwise mask to the attn
-  logits (a +1 soft bias, an artifact of reusing HF's additive-mask slot);
-  we implement the evident intent — hard masking via -inf on masked keys.
+  downsampled to the patch grid, class token always attended. The
+  reference adds the raw 0/1 pairwise mask to the attn logits (a +1 soft
+  bias, an artifact of reusing HF's additive-mask slot); we reproduce
+  that exactly by default (`mask_mode="soft_pair"`, golden-tested) and
+  offer the evident intent — hard −inf masking — as `mask_mode="hard"`.
 
 Params are nested dicts; linear weights are stored [in, out] (JAX
 convention; torch converters transpose). The MKV multiplier of a layer is
@@ -341,13 +342,20 @@ def vision_encode(
     cfg: CLIPVisionConfig = CLIP_L_VISION,
     image_mask: jax.Array | None = None,  # [B, H', W'] fg mask (any resolution)
     return_hidden_states: bool = False,
+    mask_mode: str = "soft_pair",  # "soft_pair" (reference) | "hard"
 ):
     """CLIP vision transformer, optional patch-grid masking.
 
     image_mask is nearest-resized to the patch grid; the class token is
-    always attended (`adaface/util.py:344-354`). Masked patches are removed
-    from everyone's keys (hard mask; see module docstring for the deviation
-    from the reference's +1 soft bias).
+    always attended (`adaface/util.py:344-354`).
+
+    mask_mode="soft_pair" reproduces the reference exactly: the 0/1
+    pairwise mask maskᵢ·maskⱼ is ADDED to the attention logits (HF's
+    additive-mask slot, so unmasked pairs get a +1 bias rather than masked
+    pairs getting −inf; `adaface/util.py:351-366`). The pretrained
+    reference checkpoints were trained under this behavior, so it is the
+    default. mask_mode="hard" implements the evident intent — masked
+    patches removed from everyone's keys via −inf.
     """
     b = pixel_values.shape[0]
     d = cfg.hidden_size
@@ -373,7 +381,14 @@ def vision_encode(
         token_mask = jnp.concatenate(
             [jnp.ones((b, 1, 1), jnp.float32), m.reshape(b, 1, g * g)], axis=-1
         )  # [B,1,S]
-        attn_bias = (token_mask[:, :, None, :] - 1.0) * 1e9  # [B,1,1,S]
+        if mask_mode == "soft_pair":
+            # maskᵀ·mask added raw to the logits (`util.py:351-366`)
+            attn_bias = (token_mask[:, :, :, None]
+                         * token_mask[:, :, None, :])  # [B,1,S,S]
+        elif mask_mode == "hard":
+            attn_bias = (token_mask[:, :, None, :] - 1.0) * 1e9  # [B,1,1,S]
+        else:
+            raise ValueError(f"unknown mask_mode {mask_mode!r}")
 
     states = _run_encoder(
         params["layers"], x, cfg.num_heads, cfg.layer_norm_eps, attn_bias, causal=False

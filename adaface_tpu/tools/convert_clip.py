@@ -94,9 +94,12 @@ def convert_text_model(
 
 
 def convert_vision_model(
-    sd: Mapping[str, np.ndarray], prefix: str = "vision_model."
+    sd: Mapping[str, np.ndarray], prefix: str = "vision_model.",
+    num_heads: int | None = None,
 ) -> tuple[dict, CLIPVisionConfig]:
-    """HF CLIPVisionModel state dict → (params, config)."""
+    """HF CLIPVisionModel state dict → (params, config). num_heads can't
+    be recovered from weight shapes; defaults cover the shipped CLIP
+    vision towers (head_dim 80 for ViT-H/1280, else 64)."""
     patch = np.asarray(sd[f"{prefix}embeddings.patch_embedding.weight"])
     pos = np.asarray(sd[f"{prefix}embeddings.position_embedding.weight"])
     stem = f"{prefix}encoder"
@@ -108,7 +111,8 @@ def convert_vision_model(
     cfg = CLIPVisionConfig(
         hidden_size=d,
         num_layers=n_layers,
-        num_heads=d // 80 if d in (1280,) else d // 64,
+        num_heads=num_heads if num_heads is not None
+        else (d // 80 if d in (1280,) else max(d // 64, 1)),
         intermediate_size=fc1.shape[0],
         image_size=int(np.sqrt(n_patches)) * patch_size,
         patch_size=patch_size,

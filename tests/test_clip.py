@@ -192,7 +192,9 @@ def test_vision_projection_parity():
 
 
 def test_vision_mask_blocks_masked_patches():
-    """Kept-token outputs must not depend on pixels inside masked patches."""
+    """mask_mode='hard': kept-token outputs must not depend on pixels
+    inside masked patches (the reference-default 'soft_pair' mode is a +1
+    logit bias and is golden-tested in test_golden_models.py)."""
     model = _small_torch_vision()
     sd = torch_state_dict_to_numpy(model)
     params, cfg = convert_vision_model(sd)
@@ -200,10 +202,12 @@ def test_vision_mask_blocks_masked_patches():
     px = rs.randn(1, 3, 32, 32).astype(np.float32)
     mask = np.ones((1, 32, 32), np.float32)
     mask[:, :, 16:] = 0.0  # mask right half
-    out1 = vision_encode(params, jnp.asarray(px), cfg, image_mask=jnp.asarray(mask))
+    out1 = vision_encode(params, jnp.asarray(px), cfg,
+                         image_mask=jnp.asarray(mask), mask_mode="hard")
     px2 = px.copy()
     px2[:, :, :, 16:] = rs.randn(1, 3, 32, 16)  # scramble masked region
-    out2 = vision_encode(params, jnp.asarray(px2), cfg, image_mask=jnp.asarray(mask))
+    out2 = vision_encode(params, jnp.asarray(px2), cfg,
+                         image_mask=jnp.asarray(mask), mask_mode="hard")
     np.testing.assert_allclose(
         np.asarray(out1["pooled"]), np.asarray(out2["pooled"]), atol=1e-5
     )

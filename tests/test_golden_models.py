@@ -1,0 +1,133 @@
+"""Golden parity for model towers against reference torch implementations.
+
+- ArcFace resnet_face18 (`evaluation/arcface_resnet.py`): the identity
+  backbone shared by the training align loss and the eval harness —
+  random torch weights converted via convert_arcface_state_dict must
+  reproduce embeddings exactly.
+- CLIPVisionModelWithMask (`adaface/util.py:316-414`): masked CLIP image
+  encoder used for fg/bg features in the ID→ada chain.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+
+def _ref_path():
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+
+
+@pytest.fixture(scope="module")
+def ref_arcface():
+    _ref_path()
+    try:
+        from evaluation.arcface_resnet import resnet_face18
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    return resnet_face18
+
+
+def test_arcface_matches_reference(ref_arcface):
+    from adaface_tpu.models.arcface import (
+        arcface_embed, convert_arcface_state_dict)
+
+    torch.manual_seed(0)
+    net = ref_arcface(use_se=True).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = convert_arcface_state_dict(sd, use_se=True)
+
+    rs = np.random.RandomState(0)
+    x = (rs.rand(2, 1, 128, 128).astype(np.float32) - 0.5) * 2
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(arcface_embed(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+    # cosine agreement is what the identity losses consume
+    cos = (got * want).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1))
+    assert cos.min() > 0.9999, cos
+
+
+@pytest.fixture(scope="module")
+def ref_masked_clip():
+    _ref_path()
+
+    class _Any:
+        pass
+
+    def _stub(name, **attrs):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+
+    _stub("diffusers", StableDiffusionPipeline=_Any,
+          UNet2DConditionModel=_Any, DDIMScheduler=_Any,
+          DPMSolverSinglestepScheduler=_Any, AutoencoderKL=_Any)
+    _stub("diffusers.models")
+    _stub("diffusers.models.unets")
+    _stub("diffusers.models.unets.unet_2d_condition",
+          UNet2DConditionOutput=_Any)
+    _stub("ConsistentID")
+    _stub("ConsistentID.lib")
+    _stub("ConsistentID.lib.pipeline_ConsistentID", ConsistentIDPipeline=_Any)
+    try:
+        from adaface.util import CLIPVisionModelWithMask
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    return CLIPVisionModelWithMask
+
+
+def test_masked_clip_vision_matches_reference(ref_masked_clip):
+    """Masked CLIP image encoding: the attention mask derived from the
+    downsampled fg mask must produce identical patch features."""
+    import transformers
+
+    from adaface_tpu.models.clip import vision_encode
+    from adaface_tpu.tools.convert_clip import convert_vision_model
+
+    cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=64, patch_size=16,
+        projection_dim=32)
+    torch.manual_seed(1)
+    ref = ref_masked_clip(cfg).eval()
+    # shim away kwargs newer transformers dropped from CLIPEncoder.forward
+    import inspect
+
+    enc = ref.vision_model.encoder
+    orig_fwd = enc.forward
+    allowed = set(inspect.signature(orig_fwd).parameters)
+    assert "attention_mask" in allowed  # the mask slot the reference uses
+    enc.forward = lambda *a, **kw: orig_fwd(
+        *a, **{k: v for k, v in kw.items() if k in allowed})
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, our_cfg = convert_vision_model(sd, num_heads=2)
+
+    rs = np.random.RandomState(2)
+    pix = rs.randn(1, 3, 64, 64).astype(np.float32)
+    mask = np.zeros((1, 64, 64), np.float32)  # [B, H, W] per the reference
+    mask[:, 8:40, 16:56] = 1.0
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(pix),
+                   attn_mask=torch.from_numpy(mask)
+                   ).last_hidden_state.numpy()
+    got = np.asarray(vision_encode(
+        params, jnp.asarray(pix), our_cfg,
+        image_mask=jnp.asarray(mask))["last_hidden_state"])
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # and the mask must matter
+    with torch.no_grad():
+        un = ref(torch.from_numpy(pix),
+                 attn_mask=None).last_hidden_state.numpy()
+    assert np.abs(un - want).max() > 1e-4
