@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adaface_tpu.ops.fused_norm import fused_bn_act
-from adaface_tpu.ops.resize import resize_nearest
+from adaface_tpu.ops.resize import resize_bilinear_align_corners, resize_nearest
 
 Params = dict[str, Any]
 
@@ -151,8 +151,11 @@ def bisenet_forward(params: Params, x: jax.Array, train: bool = False):
     x = x.transpose(0, 2, 3, 1)
     b, H, W, _ = x.shape
     h = _bn(params["bn1"], _conv(params["conv1"], x, 2, 3), train=train)
+    # torch MaxPool2d(3, 2, padding=1): symmetric (1,1) pads — XLA "SAME"
+    # would pad (0,1) here, shifting everything by one pixel
     h = -jax.lax.reduce_window(-h, jnp.inf, jax.lax.min,
-                               (1, 3, 3, 1), (1, 2, 2, 1), "SAME")
+                               (1, 3, 3, 1), (1, 2, 2, 1),
+                               ((0, 0), (1, 1), (1, 1), (0, 0)))
     feats = []
     for blocks, stride in zip(params["layers"], (1, 2, 2, 2)):
         h = _basicblock(blocks[0], h, stride, train=train)
@@ -184,7 +187,10 @@ def bisenet_forward(params: Params, x: jax.Array, train: bool = False):
     def head(hp, f):
         o = _convbnrelu(hp["conv"], f, train=train)
         o = _conv(hp["cls"], o, padding=0)
-        return _upsample_to(o, H, W).transpose(0, 3, 1, 2)
+        # final logits upsample is bilinear align_corners=True in the
+        # reference (`model.py:251-253`); internal fusions stay nearest
+        o = resize_bilinear_align_corners(o, (H, W), spatial_axes=(1, 2))
+        return o.transpose(0, 3, 1, 2)
 
     out = head(params["out"], feat)
     if train:

@@ -22,6 +22,34 @@ def upsample2x_nearest(x: jax.Array) -> jax.Array:
     return y.reshape(b, 2 * h, 2 * w, c)
 
 
+def resize_bilinear_align_corners(
+    x: jax.Array, out_hw: tuple[int, int],
+    spatial_axes: tuple[int, int] = (1, 2)) -> jax.Array:
+    """Bilinear resize with torch align_corners=True semantics
+    (src = dst·(in−1)/(out−1)), as two separable 1-D gathers. Used by the
+    BiSeNet output heads (`face_parsing/model.py:251-253`); jax.image
+    has no align-corners mode."""
+    out_h, out_w = out_hw
+
+    def interp_axis(x, axis, out_n):
+        in_n = x.shape[axis]
+        if in_n == out_n:
+            return x
+        src = (jnp.arange(out_n, dtype=jnp.float32)
+               * (max(in_n - 1, 1) / max(out_n - 1, 1)))
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_n - 1)
+        w = src - lo
+        shape = [1] * x.ndim
+        shape[axis] = out_n
+        w = w.reshape(shape).astype(x.dtype)
+        return (jnp.take(x, lo, axis=axis) * (1 - w)
+                + jnp.take(x, hi, axis=axis) * w)
+
+    x = interp_axis(x, spatial_axes[0], out_h)
+    return interp_axis(x, spatial_axes[1], out_w)
+
+
 def resize_nearest(x: jax.Array, out_hw: tuple[int, int],
                    spatial_axes: tuple[int, int] = (-2, -1)) -> jax.Array:
     """Nearest resize along two axes via take (torch/PIL 'nearest'

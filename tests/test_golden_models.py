@@ -131,3 +131,57 @@ def test_masked_clip_vision_matches_reference(ref_masked_clip):
         un = ref(torch.from_numpy(pix),
                  attn_mask=None).last_hidden_state.numpy()
     assert np.abs(un - want).max() > 1e-4
+
+
+@pytest.fixture(scope="module")
+def ref_bisenet():
+    _ref_path()
+    if "/root/reference/face_parsing" not in sys.path:
+        sys.path.append("/root/reference/face_parsing")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: None
+        tvu.draw_bounding_boxes = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+    import torch.utils.model_zoo as modelzoo
+
+    orig = modelzoo.load_url
+    modelzoo.load_url = lambda *a, **k: {}  # zero egress: keep random init
+    try:
+        from model import BiSeNet
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        modelzoo.load_url = orig
+    return BiSeNet
+
+
+def test_bisenet_matches_reference(ref_bisenet):
+    """BiSeNet face parser (`face_parsing/model.py`): converted random
+    torch weights must reproduce the eval logits exactly."""
+    from adaface_tpu.models.bisenet import (
+        bisenet_forward, convert_bisenet_state_dict)
+
+    torch.manual_seed(0)
+    import torch.utils.model_zoo as modelzoo
+
+    orig = modelzoo.load_url
+    modelzoo.load_url = lambda *a, **k: {}
+    try:
+        net = ref_bisenet(n_classes=19).eval()
+    finally:
+        modelzoo.load_url = orig
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = convert_bisenet_state_dict(sd)
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(1, 3, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x))[0].numpy()
+    got = np.asarray(bisenet_forward(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    # argmax parsing agreement is what mask generation consumes
+    assert (got.argmax(1) == want.argmax(1)).mean() > 0.999
