@@ -1,9 +1,11 @@
 """Optimizers as optax transforms.
 
 Rebuilds of the reference's optimizer zoo (SURVEY §2.2):
-- cautious_adamw — "cautious" AdamW (`ldm/c_adamw.py`): the update is masked
-  wherever it disagrees in sign with the gradient, and renormalized by the
-  surviving fraction.
+- cautious_adamw — "cautious" AdamW (`ldm/c_adamw.py`): the first moment is
+  masked wherever it disagrees in sign with the gradient (renormalized by
+  the surviving fraction) before the Adam denom; weight decay unmasked.
+  `cautious()` remains as a generic update-masking wrapper for composing
+  with other inner transforms.
 - prodigy — D-adaptation Adam (`ldm/prodigy.py`; Mishchenko & Defazio,
   "Prodigy: An Expeditiously Adaptive Parameter-Free Learner"): learns the
   distance-to-solution scale d on the fly.
@@ -53,11 +55,51 @@ def cautious(inner: optax.GradientTransformation) -> optax.GradientTransformatio
     return optax.GradientTransformation(init, update)
 
 
+class CAdamWState(NamedTuple):
+    count: jax.Array
+    m: optax.Updates
+    v: optax.Updates
+
+
 def cautious_adamw(
     lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.005
 ) -> optax.GradientTransformation:
-    return cautious(optax.adamw(lr, b1=b1, b2=b2, eps=eps,
-                                weight_decay=weight_decay))
+    """Exact rebuild of the reference cautious AdamW (`ldm/c_adamw.py:
+    90-122`, golden-tested): the sign-agreement mask compares the FIRST
+    MOMENT with the gradient and is applied to exp_avg before the denom;
+    decoupled weight decay is NOT masked; denom = sqrt(v)+eps with the
+    bias corrections folded into the step size."""
+
+    def init(params):
+        z = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p), params)
+        return CAdamWState(count=jnp.zeros((), jnp.int32), m=z,
+                           v=jax.tree_util.tree_map(jnp.copy, z))
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        lr_t = lr(state.count) if callable(lr) else lr
+        t = count.astype(jnp.float32)
+        step_size = lr_t * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+
+        def leaf(g, m, v, p):
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            denom = jnp.sqrt(v) + eps
+            mask = (m * g > 0).astype(g.dtype)
+            mask = mask / jnp.maximum(mask.mean(), 1e-3)
+            upd = -step_size * (m * mask) / denom
+            if weight_decay and p is not None:
+                upd = upd - lr_t * weight_decay * p
+            return upd, m, v
+
+        if params is None:
+            params = jax.tree_util.tree_map(lambda g: None, grads)
+        flat = jax.tree_util.tree_map(leaf, grads, state.m, state.v, params)
+        pick = lambda i: jax.tree_util.tree_map(
+            lambda t_: t_[i], flat, is_leaf=lambda x: isinstance(x, tuple))
+        return pick(0), CAdamWState(count=count, m=pick(1), v=pick(2))
+
+    return optax.GradientTransformation(init, update)
 
 
 # ---------------------------------------------------------------------------
@@ -436,7 +478,7 @@ def make_optimizer(
     (`ddpm.py:3855-4020`): grad clip 0.2 + warmup-cosine LR."""
     sched = warmup_cosine(lr, warmup_steps, total_steps)
     if name in ("cadamw", "cautious_adamw"):
-        core = cautious(optax.adamw(sched, weight_decay=weight_decay))
+        core = cautious_adamw(sched, weight_decay=weight_decay)
     elif name == "adamw":
         core = optax.adamw(sched, weight_decay=weight_decay)
     elif name == "nadam":
