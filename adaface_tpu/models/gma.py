@@ -395,8 +395,11 @@ def est_flow_from_feats(
     flow, mask = _refine(params, pyramid, shape, hidden, inp, num_iters)
     up = _upsample_flow_convex(flow, mask)
     # resize back to feature resolution, rescaling the offsets
-    # (`network.py:265-269`, align_corners=False bilinear / scale 8)
-    up = jax.image.resize(up, (b, h, w, 2), method="bilinear") / 8.0
+    # (`network.py:265-269`, align_corners=False bilinear / scale 8;
+    # torch does not antialias the downsample)
+    from adaface_tpu.ops.resize import resize_bilinear_half_pixel
+
+    up = resize_bilinear_half_pixel(up, (h, w), spatial_axes=(1, 2)) / 8.0
     return up.transpose(0, 3, 1, 2)
 
 

@@ -50,6 +50,34 @@ def resize_bilinear_align_corners(
     return interp_axis(x, spatial_axes[1], out_w)
 
 
+def resize_bilinear_half_pixel(
+    x: jax.Array, out_hw: tuple[int, int],
+    spatial_axes: tuple[int, int] = (1, 2)) -> jax.Array:
+    """Bilinear resize with torch `F.interpolate(align_corners=False)`
+    semantics: src = (dst+0.5)·in/out − 0.5, clamped, NO antialiasing —
+    jax.image.resize antialiases on downsample, which torch does not."""
+    out_h, out_w = out_hw
+
+    def interp_axis(x, axis, out_n):
+        in_n = x.shape[axis]
+        if in_n == out_n:
+            return x
+        src = ((jnp.arange(out_n, dtype=jnp.float32) + 0.5)
+               * (in_n / out_n) - 0.5)
+        src = jnp.clip(src, 0.0, in_n - 1.0)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_n - 1)
+        w = src - lo
+        shape = [1] * x.ndim
+        shape[axis] = out_n
+        w = w.reshape(shape).astype(x.dtype)
+        return (jnp.take(x, lo, axis=axis) * (1 - w)
+                + jnp.take(x, hi, axis=axis) * w)
+
+    x = interp_axis(x, spatial_axes[0], out_h)
+    return interp_axis(x, spatial_axes[1], out_w)
+
+
 def resize_nearest(x: jax.Array, out_hw: tuple[int, int],
                    spatial_axes: tuple[int, int] = (-2, -1)) -> jax.Array:
     """Nearest resize along two axes via take (torch/PIL 'nearest'

@@ -185,3 +185,81 @@ def test_bisenet_matches_reference(ref_bisenet):
     np.testing.assert_allclose(got, want, atol=3e-4)
     # argmax parsing agreement is what mask generation consumes
     assert (got.argmax(1) == want.argmax(1)).mean() > 0.999
+
+
+@pytest.fixture(scope="module")
+def ref_gma():
+    _ref_path()
+    if "easydict" not in sys.modules:
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            __setattr__ = dict.__setitem__
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+    try:
+        from gma.network import GMA
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    return GMA
+
+
+def test_gma_latent_flow_matches_reference(ref_gma):
+    """est_flow_from_feats numerical parity: raw-feature correlation
+    (radius-4 lookup with the reference's transposed-window channel
+    ordering), zero-state update block, convex upsample + resize."""
+    from adaface_tpu.models.gma import convert_gma_state_dict, est_flow_from_feats
+
+    torch.manual_seed(3)
+    net = ref_gma({"mixed_precision": False, "position_only": False,
+                   "position_and_content": False}).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = convert_gma_state_dict(sd)
+
+    rs = np.random.RandomState(4)
+    h = w = 16
+    c = 24
+    f1 = rs.randn(1, c, h * w).astype(np.float32)
+    f2 = rs.randn(1, c, h * w).astype(np.float32)
+    with torch.no_grad():
+        want = net.est_flow_from_feats(
+            torch.from_numpy(f1), torch.from_numpy(f2), h, w, num_iters=4,
+            corr_normalized_by_sqrt_dim=False).numpy()
+    got = np.asarray(est_flow_from_feats(
+        params, jnp.asarray(f1), jnp.asarray(f2), h, w, num_iters=4,
+        corr_normalized_by_sqrt_dim=False))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    assert np.abs(want).max() > 1e-3  # nonzero flow: the test has power
+
+
+def test_gma_image_flow_matches_reference(ref_gma):
+    """Full image path: residual encoders (instance/batch norms), content
+    attention, iterative refinement, convex x8 upsampling."""
+    from adaface_tpu.models.gma import convert_gma_state_dict, gma_flow
+
+    torch.manual_seed(5)
+    net = ref_gma({"mixed_precision": False, "position_only": False,
+                   "position_and_content": False}).eval()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = convert_gma_state_dict(sd)
+
+    rs = np.random.RandomState(6)
+    # NOTE ≥128px: at 64px the 1/8 grid is 8x8 whose top corr-pyramid
+    # level is 1x1, where the reference's grid_sample normalization
+    # divides by (size-1)=0 and NaNs; our clamped lookup stays finite
+    img1 = (rs.rand(1, 3, 128, 128) * 255).astype(np.float32)
+    img2 = np.roll(img1, 2, axis=-1)
+    with torch.no_grad():
+        _, want = net(torch.from_numpy(img1), torch.from_numpy(img2),
+                      num_iters=3, test_mode=1)
+    want = want.numpy()
+    got = np.asarray(gma_flow(params, jnp.asarray(img1), jnp.asarray(img2),
+                              num_iters=3))
+    np.testing.assert_allclose(got, want, atol=5e-3)
