@@ -118,3 +118,31 @@ def test_beta_schedule_matches_reference(ref_model_mod):
     back = np.asarray(ours.predict_start_from_noise(
         jnp.asarray(want), jnp.asarray(t), jnp.asarray(eps)))
     np.testing.assert_allclose(back, x0, atol=1e-4)
+
+
+def test_ddim_schedule_matches_reference(ref_model_mod):
+    """LDM DDIMSampler schedule (`ddim.py` via make_ddim_timesteps /
+    make_ddim_sampling_parameters, uniform spacing): timestep grid,
+    alpha/alpha_prev tables, and eta sigmas."""
+    from ldm.modules.diffusionmodules.util import (
+        make_ddim_sampling_parameters, make_ddim_timesteps)
+
+    from adaface_tpu.ops.samplers import DDIMConfig, _alpha_tables
+
+    sched = DiffusionSchedule.create()
+    ac = np.asarray(sched.alphas_cumprod)
+    n = 50
+    ref_ts = make_ddim_timesteps("uniform", n, 1000, verbose=False)
+    sig, al, al_prev = make_ddim_sampling_parameters(
+        ac, ref_ts, eta=1.0, verbose=False)
+
+    cfg = DDIMConfig(num_inference_steps=n, spacing="uniform",
+                     set_alpha_to_one=False)
+    ts, a_t, a_p = _alpha_tables(sched, cfg)
+    # ours is stored descending (sampling order); the reference ascending
+    np.testing.assert_array_equal(np.asarray(ts)[::-1], ref_ts)
+    np.testing.assert_allclose(np.asarray(a_t)[::-1], al, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_p)[::-1], al_prev, rtol=1e-6)
+    ours_sig = np.sqrt((1 - np.asarray(a_p)) / (1 - np.asarray(a_t))
+                       * (1 - np.asarray(a_t) / np.asarray(a_p)))
+    np.testing.assert_allclose(ours_sig[::-1], sig, rtol=1e-5)
