@@ -170,15 +170,35 @@ def apply_merge_map(embs: jax.Array, dest_map: jax.Array) -> jax.Array:
 def distribute_embedding_to_M_tokens(
     embs: jax.Array,  # [B, S, D]
     splice_map: jax.Array,  # [B, S] (k index or -1) marking the M positions
+    uncond_embs: jax.Array | None = None,  # [1 or B, S, D]
+    divide_scheme: str = "sqrt_M",
+    emb_cfg: float = 2.0,
+    emb_extra_boost: float = 2.0,
 ) -> jax.Array:
-    """Copy each row's k=0 embedding onto all marked positions
-    (`distribute_embedding_to_M_tokens`, `ldm/util.py:550-614`)."""
+    """Distribute each row's k=0 embedding onto all M marked positions
+    (`distribute_embedding_to_M_tokens`, `ldm/util.py:550-597`): the
+    written value is compel-style embedding CFG against the uncond
+    embedding at the same position (cls·cfg − uncond·(cfg−1)), boosted by
+    emb_extra_boost and divided by √M (or M / 1 per divide_scheme)."""
     is_first = splice_map == 0
     # per-row first embedding: gather position of k=0
     first_pos = jnp.argmax(is_first, axis=1)  # [B]
-    first_emb = embs[jnp.arange(embs.shape[0]), first_pos]  # [B, D]
+    bidx = jnp.arange(embs.shape[0])
+    first_emb = embs[bidx, first_pos].astype(jnp.float32)  # [B, D]
+    if uncond_embs is not None and emb_cfg != 1.0:
+        u = jnp.broadcast_to(uncond_embs, embs.shape)[bidx, first_pos]
+        first_emb = first_emb * emb_cfg - u.astype(jnp.float32) * (emb_cfg - 1.0)
+    m = (splice_map >= 0).sum(axis=1).astype(jnp.float32)  # [B]
+    if divide_scheme == "sqrt_M":
+        div = jnp.sqrt(jnp.maximum(m, 1.0))
+    elif divide_scheme == "M":
+        div = jnp.maximum(m, 1.0)
+    else:
+        div = jnp.ones_like(m)
+    first_emb = first_emb * (emb_extra_boost / div)[:, None]
     has_first = jnp.any(is_first, axis=1)[:, None, None]
-    marked = (splice_map >= 0)[..., None] & has_first
+    # the reference skips rows with M == 1 (`:560-562`)
+    marked = (splice_map >= 0)[..., None] & has_first & (m > 1.0)[:, None, None]
     return jnp.where(marked, first_emb[:, None, :].astype(embs.dtype), embs)
 
 

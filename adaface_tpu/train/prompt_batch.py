@@ -29,8 +29,16 @@ def build_4block_prompt_batch(
     prompts = list(subj_single) + list(subj_comp) + list(cls_single) + list(cls_comp)
     plan = em.plan(prompts, max_length=max_length)
     placeholder = placeholder or em.placeholders[0].string
-    return {
+    out = {
         "prompt_ids": plan["ids"],
         "splice_map": plan["splice_maps"][placeholder],
         "prompt_emb_mask": plan["prompt_emb_mask"],
+        # uncond ids for the compel-style embedding CFG of the distribute
+        # step (`distribute_embedding_to_M_tokens`, `ldm/util.py:585-589`)
+        "uncond_ids": em.tokenizer([""], max_length=max_length),
     }
+    if plan.get("merge_map") is not None:
+        # multi-token cls-delta strings summed into one slot + left shift
+        # (`merge_cls_token_embeddings`, `ldm/util.py:683-760`)
+        out["merge_map"] = plan["merge_map"]
+    return out

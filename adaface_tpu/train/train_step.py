@@ -115,6 +115,12 @@ def _encode_prompts_with_ada(
         axis=0,
     )
     embs = splice_ada_embeddings(base, ada4, splice_map)
+    if batch.get("merge_map") is not None:
+        # sum multi-token cls-delta embeddings into one slot + left shift
+        # (`merge_cls_token_embeddings` via the EmbeddingManager)
+        from adaface_tpu.text.embedding_manager import apply_merge_map
+
+        embs = apply_merge_map(embs, batch["merge_map"])
     # per-iteration Dirichlet-sampled CLIP-skip weights when provided
     # (`randomize_clip_skip_weights`, `modules.py:424-452`), else the
     # configured constants
@@ -128,7 +134,27 @@ def _encode_prompts_with_ada(
         input_embs=embs,
         skip_weights=skip_w,
     )
-    return out["last_hidden_state"]
+    ctx = out["last_hidden_state"]
+    if batch.get("uncond_ids") is not None:
+        # distribute the merged class embedding over the M subject-token
+        # positions of the cls blocks, with compel-style embedding CFG and
+        # magnitude boost (`forward` → distribute_embedding_to_M_tokens_
+        # by_dict, `ddpm.py:1455-1472`); positions come from the aligned
+        # subject-single block's splice map
+        from adaface_tpu.text.embedding_manager import (
+            distribute_embedding_to_M_tokens)
+
+        uncond = clip_mod.text_encode(
+            frozen["text_encoder"], batch["uncond_ids"], cfg.clip_text,
+            skip_weights=skip_w)["last_hidden_state"]
+        # the reference indexes BOTH cls blocks with the subject-single
+        # block's placeholder indices (`placeholder2indices_1b`)
+        ss_map, _, _, _ = jnp.split(splice_map, 4, axis=0)
+        ss, sc, cs, cc = jnp.split(ctx, 4, axis=0)
+        cs = distribute_embedding_to_M_tokens(cs, ss_map, uncond)
+        cc = distribute_embedding_to_M_tokens(cc, ss_map, uncond)
+        ctx = jnp.concatenate([ss, sc, cs, cc], axis=0)
+    return ctx
 
 
 def recon_loss_fn(

@@ -277,3 +277,22 @@ def test_cross_t_diff_matches(ref_util):
         {"attn": {23: jnp.asarray(attn2), 24: jnp.asarray(attn2 * 0.9)}},
         jnp.asarray(subj_mask)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_distribute_embedding_matches_reference(ref_util):
+    """distribute_embedding_to_M_tokens (`ldm/util.py:550-597`): compel
+    embedding CFG + boost + sqrt(M) division at the marked positions."""
+    from adaface_tpu.text.embedding_manager import (
+        distribute_embedding_to_M_tokens)
+
+    rs = np.random.RandomState(11)
+    embs = rs.randn(1, 10, 8).astype(np.float32)
+    uncond = rs.randn(1, 10, 8).astype(np.float32)
+    idx = torch.tensor([3, 4, 5, 6])
+    want = ref_util.distribute_embedding_to_M_tokens(
+        torch.from_numpy(embs), torch.from_numpy(uncond), idx).numpy()
+    smap = np.full((1, 10), -1, np.int32)
+    smap[0, 3:7] = np.arange(4)
+    got = np.asarray(distribute_embedding_to_M_tokens(
+        jnp.asarray(embs), jnp.asarray(smap), jnp.asarray(uncond)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -128,13 +128,30 @@ def test_cls_delta_scan_and_merge():
 
 
 def test_distribute_embedding():
-    embs = jnp.asarray(np.random.RandomState(0).randn(1, 8, 4).astype(np.float32))
+    """Reference semantics (`distribute_embedding_to_M_tokens`,
+    `ldm/util.py:550-597`): value written = (cls·cfg − uncond·(cfg−1))
+    · boost / √M at every marked position."""
+    rs = np.random.RandomState(0)
+    embs = jnp.asarray(rs.randn(1, 8, 4).astype(np.float32))
+    uncond = jnp.asarray(rs.randn(1, 8, 4).astype(np.float32))
     smap = np.full((1, 8), -1, np.int32)
     smap[0, 2:5] = [0, 1, 2]
-    out = distribute_embedding_to_M_tokens(embs, jnp.asarray(smap))
-    np.testing.assert_allclose(np.asarray(out[0, 3]), np.asarray(embs[0, 2]))
-    np.testing.assert_allclose(np.asarray(out[0, 4]), np.asarray(embs[0, 2]))
+    out = distribute_embedding_to_M_tokens(embs, jnp.asarray(smap), uncond)
+    want = (np.asarray(embs[0, 2]) * 2.0 - np.asarray(uncond[0, 2])) \
+        * 2.0 / np.sqrt(3.0)
+    for pos in (2, 3, 4):
+        np.testing.assert_allclose(np.asarray(out[0, pos]), want, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out[0, 1]), np.asarray(embs[0, 1]))
+    # no uncond / cfg disabled → plain boosted copy
+    out2 = distribute_embedding_to_M_tokens(
+        embs, jnp.asarray(smap), None, emb_cfg=1.0, emb_extra_boost=1.0,
+        divide_scheme="none")
+    np.testing.assert_allclose(np.asarray(out2[0, 4]), np.asarray(embs[0, 2]))
+    # M == 1 rows are left untouched (`:560-562`)
+    smap1 = np.full((1, 8), -1, np.int32)
+    smap1[0, 3] = 0
+    out3 = distribute_embedding_to_M_tokens(embs, jnp.asarray(smap1), uncond)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(embs))
 
 
 def test_embedding_manager_end_to_end():
