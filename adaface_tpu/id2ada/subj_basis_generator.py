@@ -128,8 +128,11 @@ def init_subj_basis_generator(
                 "b2": jnp.zeros((d,)),
                 "ln": {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))},
             }
-        # template: N_ID fillers for the id embs + (N_SFX + 2) extra fillers
-        n_fillers = cfg.num_id_vecs + cfg.num_static_img_suffix_embs + 2
+        # template: N_ID + 2 fillers — the reference's no-extra-words branch
+        # (`inverse_img_prompt_embs`, `subj_basis_generator.py:543`) does NOT
+        # lengthen the template for static suffix embs; when enabled they
+        # overwrite whatever tokens sit at ID_END:ID_END+N_SFX
+        n_fillers = cfg.num_id_vecs + 2
         ids, id_start = _build_template(tokenizer, n_fillers, cfg.max_prompt_length)
         buffers["template_ids"] = jnp.asarray(ids, jnp.int32)
         buffers["id_start"] = int(id_start)

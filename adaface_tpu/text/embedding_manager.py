@@ -116,25 +116,33 @@ def scan_cls_delta_spans(
 def build_merge_map(
     b: int, s: int, spans: list[tuple[int, int, int, str]]
 ) -> np.ndarray:
-    """[B, S] int32 dest map for merge_cls_token_embeddings: each source
-    position's destination; a span's M positions all map to its start (so a
-    scatter-add sums them), and the tail shifts left by M-1."""
-    dest = np.tile(np.arange(s, dtype=np.int32), (b, 1))
+    """[B, S, 2] int32 merge plan for merge_cls_token_embeddings
+    (`ldm/util.py:683-737`), built by replaying the reference's sequential
+    writes exactly:
+
+    - `[..., 0]` is a dest→source gather map: position `start - i_off` of
+      each span is followed by the tail `start+M:` shifted left by
+      `i_off + M - 1`; the last `off_total` positions keep their original
+      (identity) sources, matching the untouched tail of the reference.
+    - `[..., 1]` is a source→dest map marking span members: the M source
+      positions of a span map to its merged slot (their embeddings are
+      summed there); all other positions are -1.
+    """
+    gather_src = np.tile(np.arange(s, dtype=np.int32), (b, 1))
+    span_dest = np.full((b, s), -1, np.int32)
     by_row: dict[int, list[tuple[int, int]]] = {}
     for batch_i, start, m, _ in sorted(spans, key=lambda x: (x[0], x[1])):
         by_row.setdefault(batch_i, []).append((start, m))
     for bi, row_spans in by_row.items():
         off = 0
-        d = np.arange(s, dtype=np.int32)
         for start, m in row_spans:
-            d[start:start + m] = start - off
-            d[start + m:] -= off + m - 1
+            span_dest[bi, start:start + m] = start - off
+            if off + m - 1 > 0:
+                lo = start - off + 1
+                hi = s - (off + m - 1)
+                gather_src[bi, lo:hi] = np.arange(start + m, s, dtype=np.int32)
             off += m - 1
-        # positions pushed past the end keep writing to the tail slot; the
-        # reference leaves the last off embeddings untouched — emulate by
-        # clamping (those all land on s-1.. harmlessly overwritten below)
-        dest[bi] = np.clip(d, 0, s - 1)
-    return dest
+    return np.stack([gather_src, span_dest], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -154,17 +162,21 @@ def splice_ada_embeddings(
                      base_embs)
 
 
-def apply_merge_map(embs: jax.Array, dest_map: jax.Array) -> jax.Array:
-    """Scatter-add each source embedding to its destination position."""
+def apply_merge_map(embs: jax.Array, merge_map: jax.Array) -> jax.Array:
+    """Differentiable replay of merge_cls_token_embeddings: gather the
+    shifted layout, then overwrite each span's merged slot with the sum of
+    its member embeddings (all reads from the ORIGINAL embeddings, as in
+    the reference)."""
     b, s, d = embs.shape
-    out = jnp.zeros_like(embs)
+    gather_src = merge_map[..., 0]
+    span_dest = merge_map[..., 1]
+    out = jnp.take_along_axis(embs, gather_src[..., None], axis=1)
+    member = (span_dest >= 0).astype(embs.dtype)[..., None]
     bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, s))
-    out = out.at[bidx, dest_map].add(embs)
-    # count sources per destination to keep un-merged positions unscaled
-    counts = jnp.zeros((b, s), embs.dtype).at[bidx, dest_map].add(1.0)
-    # positions receiving multiple sources are sums (reference sums the
-    # cls-delta embeddings); positions receiving none keep original
-    return jnp.where((counts > 0)[..., None], out, embs)
+    dest = jnp.clip(span_dest, 0)
+    sums = jnp.zeros_like(embs).at[bidx, dest].add(embs * member)
+    n_members = jnp.zeros((b, s), embs.dtype).at[bidx, dest].add(member[..., 0])
+    return jnp.where((n_members > 0)[..., None], sums, out)
 
 
 def distribute_embedding_to_M_tokens(

@@ -296,3 +296,32 @@ def test_distribute_embedding_matches_reference(ref_util):
     got = np.asarray(distribute_embedding_to_M_tokens(
         jnp.asarray(embs), jnp.asarray(smap), jnp.asarray(uncond)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_merge_cls_token_embeddings_matches_reference(ref_util):
+    """merge_cls_token_embeddings (`ldm/util.py:683-737`): each M-token
+    class span collapses to its summed embedding, tail shifts left, the
+    last off positions stay untouched — including the multi-span
+    sequential-write semantics."""
+    from adaface_tpu.text.embedding_manager import (
+        apply_merge_map,
+        build_merge_map,
+    )
+
+    rs = np.random.RandomState(12)
+    s = 14
+    cases = [
+        [(0, 3, 3, "a")],                          # single span
+        [(0, 3, 1, "a")],                          # M=1 (no shift)
+        [(0, 2, 2, "a"), (0, 7, 3, "b")],          # two spans, one row
+        [(0, 3, 2, "a"), (1, 5, 4, "b")],          # spans in two rows
+    ]
+    for spans in cases:
+        embs = rs.randn(2, s, 6).astype(np.float32)
+        want = ref_util.merge_cls_token_embeddings(
+            torch.from_numpy(embs), spans).numpy()
+        mm = build_merge_map(2, s, spans)
+        got = np.asarray(apply_merge_map(jnp.asarray(embs),
+                                         jnp.asarray(mm)))
+        np.testing.assert_allclose(got, want, atol=1e-6,
+                                   err_msg=f"spans={spans}")
