@@ -123,3 +123,52 @@ def test_unet_matches_reference_extreme_t(ref_unet, converted):
         t = np.array([tv], dtype=np.float32)
         got, want = _run_pair(ref_unet, converted, x, t, ctx)
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_unet_matches_reference_deep(ref_unet):
+    """3-level, 2-resblock config — SD1.5's exact block pattern scaled
+    down; exercises the converter's multi-resblock input/output_block
+    indexing (3i+1… layout, `convert_ldm_unet.py:9-13`)."""
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel
+
+    cfg = UNetConfig(
+        in_channels=4,
+        out_channels=4,
+        block_channels=(32, 64, 64),
+        layers_per_block=2,
+        cross_attn_dim=16,
+        num_heads=2,
+        norm_groups=32,
+        down_has_attn=(True, True, False),
+        up_has_attn=(False, True, True),
+        time_embed_dim=128,
+    )
+    torch.manual_seed(3)
+    net = UNetModel(
+        in_channels=4,
+        model_channels=32,
+        out_channels=4,
+        num_res_blocks=2,
+        attention_resolutions=[1, 2],
+        dropout=0.0,
+        channel_mult=(1, 2, 2),
+        num_heads=2,
+        use_spatial_transformer=True,
+        transformer_depth=1,
+        context_dim=16,
+        use_checkpoint=False,
+        legacy=False,
+    ).eval()
+    sd = {f"model.diffusion_model.{k}": v.numpy()
+          for k, v in net.state_dict().items()}
+    params = convert_ldm_unet(sd, cfg)
+    rs = np.random.RandomState(4)
+    x = rs.randn(2, 4, 16, 16).astype(np.float32)
+    t = np.array([11.0, 700.0], dtype=np.float32)
+    ctx = rs.randn(2, 7, 16).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x), torch.from_numpy(t),
+                   torch.from_numpy(ctx), extra_info={}).numpy()
+    got, _ = unet_apply(params, jnp.asarray(x), jnp.asarray(t),
+                        jnp.asarray(ctx), cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=1e-4)
