@@ -92,6 +92,10 @@ class AttnRuntime:
 
 
 def conv2d(p: Params, x: jax.Array, stride: int = 1, padding=1) -> jax.Array:
+    if "w_q" in p:  # int8 serving path (ops/quant.py), inference-only
+        from adaface_tpu.ops.quant import int8_conv2d
+
+        return int8_conv2d(p, x, stride, padding)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     # NOTE: no preferred_element_type here — lax.conv's transpose rule can't
@@ -108,6 +112,10 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1, padding=1) -> jax.Array:
 
 
 def dense(p: Params, x: jax.Array) -> jax.Array:
+    if "w_q" in p:  # int8 serving path (ops/quant.py), inference-only
+        from adaface_tpu.ops.quant import int8_dense
+
+        return int8_dense(p, x)
     y = jnp.einsum("...i,io->...o", x, p["w"].astype(x.dtype),
                    preferred_element_type=jnp.float32)
     return (y + p["b"]).astype(x.dtype)
@@ -179,6 +187,10 @@ def dora_conv(base: Params, lp: Params | None, x: jax.Array, scale: float,
     """DoRA 3x3 conv: per-out-channel magnitude over the (h,w,in) norm."""
     if lp is None:
         return conv2d(base, x, stride, padding)
+    if "w_q" in base:
+        # int8 base + active LoRA: compose on the dequantized kernel
+        base = dict(base)
+        base["w"] = base.pop("w_q").astype(jnp.float32) * base.pop("w_scale")
     kh, kw, cin, cout = base["w"].shape
     r = lp["a"].shape[-1]
     # ΔW = A (kh,kw,cin,r) composed with B (1,1,r,cout) → (kh,kw,cin,cout)
