@@ -46,6 +46,7 @@ class AdaFaceWrapper:
         max_prompt_length: int = 77,
         motion: Params | None = None,  # temporal modules for text2video
         motion_cfg=None,  # MotionConfig (defaults to MM_SD15_V2)
+        quantize_unet: bool = False,  # int8 PTQ serving mode (ops/quant.py)
     ):
         if pipeline_name in ("sdxl", "sd3", "flux"):
             raise NotImplementedError(
@@ -68,7 +69,8 @@ class AdaFaceWrapper:
             self.pipeline = VideoPipeline(modules, motion,
                                           motion_cfg=motion_cfg, dtype=dtype)
         else:
-            self.pipeline = DiffusionPipeline(modules, dtype=dtype)
+            self.pipeline = DiffusionPipeline(modules, dtype=dtype,
+                                              quantize_unet=quantize_unet)
         self.id2ada_prompt_encoder = id2ada_prompt_encoder
         self.guidance_scale = guidance_scale
         self.num_inference_steps = num_inference_steps

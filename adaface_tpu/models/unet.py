@@ -172,6 +172,10 @@ def dora_dense(base: Params, lp: Params | None, x: jax.Array, scale: float):
     """
     if lp is None:
         return dense(base, x)
+    if "w_q" in base:
+        # int8 base + active LoRA: compose on the dequantized kernel
+        base = dict(base)
+        base["w"] = base.pop("w_q").astype(jnp.float32) * base.pop("w_scale")
     w = base["w"].astype(jnp.float32) + scale * (
         lp["a"].astype(jnp.float32) @ lp["b"].astype(jnp.float32)
     )

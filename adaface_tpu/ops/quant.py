@@ -21,6 +21,13 @@ fp16, `adaface_wrapper.py`):
 
 Inference-only: the int8 ops are not differentiable (training always
 uses the bf16 path).
+
+Measured (v5e, 25-step UNet scan @ CFG batch 64, interleaved timing with
+warm-up rounds discarded, 2026-08-18): bf16 540 ms/step, int8 conv-only
+500 ms/step (1.08×), int8 conv+dense 518 ms/step — the dense layers'
+dynamic-quant overhead outweighs their MXU gain, so conv-only is the
+default. Output parity vs bf16 on the full SD1.5 UNet: corr 0.9988,
+max-rel 0.11.
 """
 
 from __future__ import annotations

@@ -11,6 +11,7 @@ generations/hour/chip (BASELINE.md) = 0.5556 imgs/sec/chip.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -36,7 +37,12 @@ def main():
     for name in ("unet", "vae", "text_encoder"):
         setattr(modules, name,
                 jax.device_put(getattr(modules, name), dev))
-    pipe = DiffusionPipeline(modules)
+    # ADAFACE_BENCH_INT8=1 switches to the int8 PTQ serving mode
+    # (ops/quant.py: +8% measured, corr 0.9988 vs bf16; default bf16 so the
+    # headline reflects full-precision output)
+    pipe = DiffusionPipeline(
+        modules,
+        quantize_unet=os.environ.get("ADAFACE_BENCH_INT8", "0") == "1")
 
     prompt = "portrait photo of z person at the beach, high quality"
 

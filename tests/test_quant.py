@@ -99,3 +99,20 @@ def test_quantized_unet_jits(tiny_unet):
             jnp.asarray([5], jnp.int32),
             jnp.asarray(rs.randn(1, 7, 16), jnp.float32))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_quantize_unet_option():
+    from adaface_tpu.inference.pipeline import (DiffusionPipeline,
+                                                PipelineModules)
+    from tests.test_inference import TINY_TEXT, TINY_UNET, TINY_VAE
+
+    modules = PipelineModules.random_init(
+        jax.random.PRNGKey(0), dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT)
+    pipe = DiffusionPipeline(modules, dtype=jnp.float32, quantize_unet=True)
+    # original modules object is untouched (shared fixtures stay fp)
+    assert "w" in modules.unet["down_blocks"][0]["resnets"][0]["conv1"]
+    assert "w_q" in pipe.m.unet["down_blocks"][0]["resnets"][0]["conv1"]
+    img = pipe("a photo", num_inference_steps=2, guidance_scale=4.0,
+               height=128, width=128)
+    assert np.isfinite(np.asarray(img)).all()
