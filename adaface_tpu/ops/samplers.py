@@ -99,12 +99,19 @@ def ddim_sample(
     uncond_ctx=None,
     cfg: DDIMConfig = DDIMConfig(),
     rng: jax.Array | None = None,
+    deepcache: tuple | None = None,
 ) -> jax.Array:
     """Full DDIM sampling loop as lax.scan.
 
     cond_ctx / uncond_ctx are arbitrary pytrees passed to model_fn (e.g.
     {'text_embs': [B,77,768], 'kv_mask': ...}). With uncond_ctx given, CFG
     batches [uncond; cond] in one model call per step.
+
+    deepcache = (interval, model_full_fn, model_shallow_fn, init_cache)
+    enables encoder caching: every `interval`-th step runs
+    `model_full_fn(x, t, ctx) -> (eps, cache)` (the whole UNet, also
+    emitting the deep-trunk feature), other steps run
+    `model_shallow_fn(x, t, ctx, cache) -> eps` (shallowest blocks only).
     """
     ts, alpha_t, alpha_prev = _alpha_tables(schedule, cfg)
     scales = guidance_scales(cfg)
@@ -121,25 +128,48 @@ def ddim_sample(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    dc = deepcache is not None and deepcache[0] > 1
+
     def step(carry, inp):
-        x, key = carry
+        if dc:
+            x, key, cache, i = carry
+        else:
+            x, key = carry
         t, a_t, a_prev, scale = inp
         tb = jnp.full((b,), t, jnp.int32)
         if use_cfg:
             x2 = jnp.concatenate([x, x], axis=0)
             t2 = jnp.concatenate([tb, tb], axis=0)
+        else:
+            x2, t2 = x, tb
+        if dc:
+            interval, full_fn, shallow_fn, _ = deepcache
+            eps2, cache = jax.lax.cond(
+                i % interval == 0,
+                lambda xx, tt, c: full_fn(xx, tt, both_ctx),
+                lambda xx, tt, c: (shallow_fn(xx, tt, both_ctx, c), c),
+                x2, t2, cache,
+            )
+        else:
             eps2 = model_fn(x2, t2, both_ctx)
+        if use_cfg:
             eps_u, eps_c = jnp.split(eps2.astype(jnp.float32), 2, axis=0)
             eps = eps_u + scale * (eps_c - eps_u)
         else:
-            eps = model_fn(x, tb, both_ctx).astype(jnp.float32)
+            eps = eps2.astype(jnp.float32)
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, x.shape, jnp.float32) if cfg.eta > 0 else None
         x_prev, _ = ddim_step(x, eps, a_t, a_prev, cfg.eta, noise)
+        if dc:
+            return (x_prev.astype(x_T.dtype), key, cache, i + 1), None
         return (x_prev.astype(x_T.dtype), key), None
 
-    (x0, _), _ = jax.lax.scan(step, (x_T, rng), (ts, alpha_t, alpha_prev, scales))
-    return x0
+    if dc:
+        init = (x_T, rng, deepcache[3], jnp.int32(0))
+    else:
+        init = (x_T, rng)
+    out, _ = jax.lax.scan(step, init, (ts, alpha_t, alpha_prev, scales))
+    return out[0]
 
 
 def multistep_denoise(
