@@ -75,3 +75,17 @@ def test_pipeline_deepcache_runs():
     img2 = pipe("a photo", num_inference_steps=4, guidance_scale=4.0,
                 height=128, width=128)
     assert np.isfinite(np.asarray(img2)).all()
+
+
+def test_deepcache_composes_with_int8():
+    from adaface_tpu.inference.pipeline import (DiffusionPipeline,
+                                                PipelineModules)
+    from tests.test_inference import TINY_TEXT, TINY_UNET, TINY_VAE
+
+    modules = PipelineModules.random_init(
+        jax.random.PRNGKey(0), dtype=jnp.float32,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT)
+    pipe = DiffusionPipeline(modules, dtype=jnp.float32, quantize_unet=True)
+    img = pipe("a photo", num_inference_steps=4, guidance_scale=4.0,
+               height=128, width=128, deepcache_interval=2)
+    assert np.isfinite(np.asarray(img)).all()
