@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from adaface_tpu.ops.resize import resize_nearest
+from adaface_tpu.ops.resize import resize_bilinear_half_pixel, resize_nearest
 from adaface_tpu.utils.tensor import gen_gradient_scaler, ortho_subtract
 
 
@@ -84,7 +84,15 @@ def calc_subj_masked_bg_suppress_loss(
         subj_attn = (attn * subj_mask[:, None, None, :]).sum(-1)
         n = subj_attn.shape[-1]
         side = int(round(n ** 0.5))
-        fg = resize_nearest(fg_mask.astype(jnp.float32), (side, side))
+        # reference resizes masks with mode="nearest|bilinear" — the
+        # elementwise max of both — then binarizes at 1e-6, so any cell
+        # partially overlapping the fg counts as fg
+        # (`resize_mask_to_target_size`, `ldm/util.py:1333-1356`)
+        fgf = fg_mask.astype(jnp.float32)
+        fg = jnp.maximum(
+            resize_nearest(fgf, (side, side)),
+            resize_bilinear_half_pixel(fgf, (side, side),
+                                       spatial_axes=(-2, -1)))
         fg = (fg.reshape(fg.shape[0], 1, n) > 1e-6).astype(jnp.float32)
         bg = 1.0 - fg
         excess = subj_attn * bg - bg_attn_tolerance

@@ -85,14 +85,16 @@ def ortho_subtract(a: jax.Array, b: jax.Array, b_discount: float = 1.0,
 
 
 def anneal_value(training_percent: float, final_percent: float,
-                 value_range: tuple[float, float]) -> float:
-    """Linear annealing from value_range[0] to value_range[1], reaching the
-    end value at final_percent of training (`ldm/util.py:1242-1252`)."""
-    lo, hi = value_range
-    if final_percent <= 0:
-        return hi
-    frac = min(training_percent / final_percent, 1.0)
-    return lo + (hi - lo) * frac
+                 value_range: tuple[float, float]):
+    """Linear annealing from value_range[0] toward value_range[1]
+    (`ldm/util.py:1242-1252`). NOTE reference semantics: the slope is
+    `(v_final - v_init) * training_percent` (NOT normalized by
+    final_percent); once training_percent >= final_percent the value
+    clamps to v_final."""
+    v_init, v_final = value_range
+    if training_percent < final_percent:
+        return v_init + (v_final - v_init) * training_percent
+    return v_final
 
 
 def anneal_perturb_embedding(

@@ -193,6 +193,19 @@ def test_mb_suppress_loss_matches(ref_util):
         jnp.asarray(subj_mask), jnp.asarray(fg)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
+    # full-res mask (32x32 vs the 8x8 attention grid) with an offset
+    # small fg: exercises the nearest|bilinear max-resize + binarize of
+    # `resize_mask_to_target_size` (`ldm/util.py:1333-1356`)
+    fg_hi = np.zeros((b, 1, 32, 32), np.float32)
+    fg_hi[:, :, 5:12, 9:19] = 1.0
+    want2 = float(ref_util.calc_subj_masked_bg_suppress_loss(
+        {23: attn_t, 24: attn_t * 0.5}, subj_idx, b,
+        torch.from_numpy(fg_hi)))
+    got2 = float(calc_subj_masked_bg_suppress_loss(
+        {23: jnp.asarray(attn), 24: jnp.asarray(attn * 0.5)},
+        jnp.asarray(subj_mask), jnp.asarray(fg_hi)))
+    np.testing.assert_allclose(got2, want2, rtol=1e-5)
+
 
 def test_var_of_laplacian_matches(ref_util):
     from adaface_tpu.train.recon_multistep import var_of_laplacian
@@ -325,3 +338,17 @@ def test_merge_cls_token_embeddings_matches_reference(ref_util):
                                          jnp.asarray(mm)))
         np.testing.assert_allclose(got, want, atol=1e-6,
                                    err_msg=f"spans={spans}")
+
+
+def test_anneal_value_matches_reference(ref_util):
+    from adaface_tpu.utils.tensor import anneal_value
+
+    for tp in (0.0, 0.1, 0.25, 0.49, 0.5, 0.7, 1.0):
+        for fp in (0.3, 0.5, 1.0):
+            want = ref_util.anneal_value(tp, fp, (1.0, 3.0))
+            got = anneal_value(tp, fp, (1.0, 3.0))
+            assert got == pytest.approx(want), (tp, fp)
+    # array annealing (anneal_array, `ldm/util.py:1253-1258`)
+    want = ref_util.anneal_array(0.2, 0.5, [1.0, 2.0], [3.0, 0.0])
+    got = anneal_value(0.2, 0.5, (np.array([1.0, 2.0]), np.array([3.0, 0.0])))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))

@@ -117,7 +117,9 @@ def test_redenoise_subj_single_gating():
 def test_anneal_utils():
     assert anneal_value(0.0, 0.5, (1.0, 3.0)) == 1.0
     assert anneal_value(0.5, 0.5, (1.0, 3.0)) == 3.0
-    assert anneal_value(0.25, 0.5, (1.0, 3.0)) == 2.0
+    # reference slope is (v_final - v_init) * training_percent, NOT
+    # normalized by final_percent (`ldm/util.py:1246`)
+    assert anneal_value(0.25, 0.5, (1.0, 3.0)) == 1.5
     emb = jnp.ones((4, 8))
     out = anneal_perturb_embedding(
         jax.random.PRNGKey(0), emb, 0.5, (0.05, 0.1), None, perturb_prob=1.0)
