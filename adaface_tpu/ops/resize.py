@@ -78,6 +78,35 @@ def resize_bilinear_half_pixel(
     return interp_axis(x, spatial_axes[1], out_w)
 
 
+def resize_bilinear_scale_factor(
+    x: jax.Array, scale: float,
+    spatial_axes: tuple[int, int] = (-2, -1)) -> jax.Array:
+    """torch `F.interpolate(scale_factor=s, mode='bilinear',
+    align_corners=False)` semantics: out_n = floor(in_n·s) and the source
+    coordinate uses the GIVEN scale factor, src = (dst+0.5)/s − 0.5 — not
+    the out/in ratio (torch only recomputes the ratio when
+    recompute_scale_factor=True)."""
+
+    def interp_axis(x, axis, s):
+        in_n = x.shape[axis]
+        out_n = int(in_n * s)
+        if in_n == out_n:
+            return x
+        src = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) / s - 0.5
+        src = jnp.clip(src, 0.0, in_n - 1.0)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_n - 1)
+        w = src - lo
+        shape = [1] * x.ndim
+        shape[axis] = out_n
+        w = w.reshape(shape).astype(x.dtype)
+        return (jnp.take(x, lo, axis=axis) * (1 - w)
+                + jnp.take(x, hi, axis=axis) * w)
+
+    x = interp_axis(x, spatial_axes[0], scale)
+    return interp_axis(x, spatial_axes[1], scale)
+
+
 def resize_nearest(x: jax.Array, out_hw: tuple[int, int],
                    spatial_axes: tuple[int, int] = (-2, -1)) -> jax.Array:
     """Nearest resize along two axes via take (torch/PIL 'nearest'

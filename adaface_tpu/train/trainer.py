@@ -309,7 +309,9 @@ class Trainer:
                 from adaface_tpu.train.init_x import (
                     init_x_with_fg_from_training_image, plan_fg_init)
 
-                fg_scale, dh, dw = plan_fg_init(fg_percent, rs)
+                fg_scale, dh, dw = plan_fg_init(
+                    fg_percent, rs,
+                    hw=device_batch["x_start"].shape[-2:])
                 x_base, fg_lat = init_x_with_fg_from_training_image(
                     device_batch["x_start"], device_batch["fg_mask"],
                     jax.random.fold_in(rng, 6), scale=fg_scale, dh=dh, dw=dw)

@@ -352,3 +352,48 @@ def test_anneal_value_matches_reference(ref_util):
     want = ref_util.anneal_array(0.2, 0.5, [1.0, 2.0], [3.0, 0.0])
     got = anneal_value(0.2, 0.5, (np.array([1.0, 2.0]), np.array([3.0, 0.0])))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_init_x_with_fg_matches_reference(ref_util, monkeypatch):
+    """init_x_with_fg_from_training_image (`ldm/util.py:1599-1672`):
+    bilinear fg shrink + zero-pad + bg noise fill + global noise blend.
+    torch randomness is patched to deterministic draws mirrored on our
+    side, so the comparison is exact."""
+    from adaface_tpu.train.init_x import init_x_with_fg_from_training_image
+
+    rs = np.random.RandomState(13)
+    b, c, h, w = 2, 4, 16, 16
+    x = rs.randn(b, c, h, w).astype(np.float32)
+    fg = np.zeros((b, 1, h, w), np.float32)
+    fg[:, :, 4:13, 3:12] = 1.0
+    n1 = rs.randn(b, c, h, w).astype(np.float32)
+    n2 = rs.randn(b, c, h, w).astype(np.float32)
+    n3 = rs.randn(b, c, h, w).astype(np.float32)
+
+    scale = 0.75
+    noises = iter([n1, n2, n3])
+    monkeypatch.setattr(torch, "rand",
+                        lambda *a, **k: torch.full(a if a else (1,), scale))
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda t: torch.from_numpy(next(noises)))
+    monkeypatch.setattr(torch, "randint",
+                        lambda lo, hi, size: torch.zeros(size,
+                                                         dtype=torch.long))
+    # reference draws rand for fg_rand_scale; with fg ~31% > 0.2 the
+    # scale becomes rand()*(ub2-lb2)+lb2 — make both sides use the SAME
+    # effective scale by computing it the reference way here
+    import math as _m
+
+    fgp = fg.sum() / fg.size
+    extra = _m.pow(0.2 / fgp, 0.35)
+    lb2, ub2 = 0.8 * extra, max(0.5, 1.0 * extra)
+    eff_scale = scale * (ub2 - lb2) + lb2
+
+    want_x, want_m = ref_util.init_x_with_fg_from_training_image(
+        torch.from_numpy(x), torch.from_numpy(fg))
+    got_x, got_m = init_x_with_fg_from_training_image(
+        jnp.asarray(x), jnp.asarray(fg), scale=eff_scale, dh=0, dw=0,
+        bg_noise1=jnp.asarray(n1), bg_noise2=jnp.asarray(n2),
+        blend_noise=jnp.asarray(n3))
+    np.testing.assert_allclose(np.asarray(got_m), want_m.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_x), want_x.numpy(), atol=1e-5)
