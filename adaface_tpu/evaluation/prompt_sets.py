@@ -73,8 +73,33 @@ COMMUNITY_PROMPTS = [
     "{} walking a tightrope between skyscrapers, surreal",
 ]
 
+# Subject-free scene prompts for base-model / sampler-quality checks
+# (equivalent of `evaluation/freeu_prompts.py` — prompts without a subject
+# slot used to eyeball the backbone independent of personalization; ours is
+# an own curation of the same flavor)
+FREEU_PROMPTS = [
+    "a lighthouse on a cliff during a thunderstorm, dramatic sky",
+    "night market street food stalls under paper lanterns",
+    "aurora borealis over a frozen fjord, long exposure",
+    "an old steam train crossing a stone viaduct in fog",
+    "macro photo of dew drops on a spider web at dawn",
+    "a fox curled up asleep in fresh snow",
+    "isometric render of a tiny floating island village",
+    "a jazz band of robots playing in a smoky club",
+    "hot air balloons drifting over desert canyons at sunrise",
+    "an underwater city with glass domes and kelp forests",
+    "a library inside a hollowed-out giant tree, warm light",
+    "time-lapse star trails above an observatory",
+    "a samurai standing in a field of pampas grass, wind",
+    "low-angle shot of skyscrapers dissolving into clouds",
+    "a cottage garden overflowing with wildflowers, oil painting",
+    "a whale breaching in front of a container ship",
+    "paper boats racing down a rainy gutter, shallow focus",
+]
+
 PROMPT_SETS = {
     "dreambench": DREAMBENCH_PROMPTS,
     "community": COMMUNITY_PROMPTS,
+    "freeu": FREEU_PROMPTS,
     "all": DREAMBENCH_PROMPTS + COMMUNITY_PROMPTS,
 }

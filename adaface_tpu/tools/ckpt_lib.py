@@ -195,3 +195,52 @@ def replace_by_pattern(base: StateDict, donor: StateDict,
     if n == 0:
         raise KeyError(f"no keys matched {patterns}")
     return out
+
+
+def clean_log_folders(root: str, pat: str, skip_pat: str | None = None,
+                      keep: int = 1, del_samples: bool = False,
+                      mock: bool = False) -> int:
+    """Prune old periodic checkpoints under a root of training-log dirs
+    (`scripts-private/clean-ckpts-and-logs.py` equivalent).
+
+    Every `<root>/<run>/checkpoints` whose path matches `pat` (regex) and
+    not `skip_pat` has all but the `keep` largest-step
+    `embeddings_gs-<step>` entries removed (both Orbax checkpoint dirs and
+    single-file ckpts); `del_samples` additionally removes the run's
+    `samples/` folder. Returns the number of checkpoints deleted (or that
+    would be, with mock=True)."""
+    import shutil
+
+    step_re = re.compile(r"embeddings_gs-(\d+)")
+    n_deleted = 0
+    for run in sorted(os.listdir(root)):
+        ckpt_dir = os.path.join(root, run, "checkpoints")
+        if not os.path.isdir(ckpt_dir) or not re.search(pat, ckpt_dir):
+            continue
+        if skip_pat and re.search(skip_pat, ckpt_dir):
+            print(f"skipping: {ckpt_dir}")
+            continue
+        entries = []
+        for name in os.listdir(ckpt_dir):
+            m = step_re.match(name)
+            if m:
+                entries.append((int(m.group(1)), name))
+        entries.sort()
+        for _, name in entries[:-keep] if keep > 0 else entries:
+            path = os.path.join(ckpt_dir, name)
+            print(f"{'would delete' if mock else 'deleting'}: {path}")
+            if not mock:
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                else:
+                    os.remove(path)
+            n_deleted += 1
+        for _, name in entries[-keep:]:
+            print(f"keeping:  {os.path.join(ckpt_dir, name)}")
+        if del_samples:
+            samples = os.path.join(root, run, "samples")
+            if os.path.isdir(samples):
+                print(f"{'would delete' if mock else 'deleting'}: {samples}")
+                if not mock:
+                    shutil.rmtree(samples)
+    return n_deleted

@@ -294,3 +294,82 @@ class FaceMaskDataset:
             pairs = [self[int(i)] for i in idx]
             yield (np.stack([p[0] for p in pairs]),
                    np.stack([p[1] for p in pairs]))
+
+
+# ---------------------------------------------------------------------------
+# Evaluation & visualization (`face_parsing/evaluate.py` equivalents)
+# ---------------------------------------------------------------------------
+
+
+def confusion_matrix(pred: "np.ndarray", label: "np.ndarray",
+                     n_classes: int = 19) -> "np.ndarray":
+    """Accumulate an [C, C] confusion matrix (rows = ground truth)."""
+    pred = np.asarray(pred).reshape(-1)
+    label = np.asarray(label).reshape(-1)
+    valid = label < n_classes
+    idx = label[valid].astype(np.int64) * n_classes + pred[valid].astype(
+        np.int64)
+    return np.bincount(idx, minlength=n_classes * n_classes).reshape(
+        n_classes, n_classes)
+
+
+def miou_from_confusion(cm: "np.ndarray") -> dict:
+    """Per-class IoU + mean IoU + pixel accuracy from a confusion matrix."""
+    cm = cm.astype(np.float64)
+    tp = np.diag(cm)
+    union = cm.sum(0) + cm.sum(1) - tp
+    iou = np.where(union > 0, tp / np.maximum(union, 1), np.nan)
+    present = union > 0
+    return {
+        "per_class_iou": iou,
+        "miou": float(np.nanmean(iou[present])) if present.any() else 0.0,
+        "pixel_acc": float(tp.sum() / max(cm.sum(), 1)),
+    }
+
+
+def evaluate_face_parsing(params: Params, dataset: "FaceMaskDataset",
+                          batch_size: int = 8, max_batches: int = 50,
+                          n_classes: int = 19) -> dict:
+    """mIoU of a BiSeNet over held-out (image, label) pairs. The reference's
+    `face_parsing/evaluate.py` only renders overlays; we additionally report
+    the standard segmentation metrics so parsing training is gateable."""
+    from adaface_tpu.models.bisenet import bisenet_forward
+
+    fwd = jax.jit(lambda p, x: jnp.argmax(bisenet_forward(p, x), axis=1))
+    cm = np.zeros((n_classes, n_classes), np.int64)
+    for bi, (images, labels) in enumerate(
+            dataset.batches(batch_size, max_batches)):
+        pred = np.asarray(fwd(params, jnp.asarray(images)))
+        cm += confusion_matrix(pred, labels, n_classes)
+        if bi + 1 >= max_batches:
+            break
+    return miou_from_confusion(cm)
+
+
+def parsing_palette(n_classes: int = 19) -> "np.ndarray":
+    """[C, 3] uint8 colors: background black, parts maximally-spaced hues."""
+    import colorsys
+
+    colors = [(0, 0, 0)]
+    for i in range(1, n_classes):
+        # golden-ratio hue walk → visually distinct neighbor classes
+        h = (i * 0.61803398875) % 1.0
+        s = 0.85 if i % 2 else 0.6
+        r, g, b = colorsys.hsv_to_rgb(h, s, 1.0)
+        colors.append((int(r * 255), int(g * 255), int(b * 255)))
+    return np.asarray(colors, np.uint8)
+
+
+def colorize_parsing(parsing: "np.ndarray", n_classes: int = 19) -> "np.ndarray":
+    """[H, W] int parsing map → [H, W, 3] uint8 color map."""
+    return parsing_palette(n_classes)[np.clip(parsing, 0, n_classes - 1)]
+
+
+def overlay_parsing(image: "np.ndarray", parsing: "np.ndarray",
+                    alpha: float = 0.6) -> "np.ndarray":
+    """Blend a parsing color map over an RGB uint8 image
+    (`vis_parsing_maps`, `face_parsing/evaluate.py:25-60`: 0.4 image +
+    0.6 colored annotation)."""
+    color = colorize_parsing(parsing).astype(np.float32)
+    out = image.astype(np.float32) * (1 - alpha) + color * alpha
+    return np.clip(out, 0, 255).astype(np.uint8)

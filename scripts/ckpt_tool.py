@@ -88,6 +88,21 @@ def main():
                    help="per-layer MKV divisors (single value broadcasts)")
     p.add_argument("--encoder", default=None)
 
+    p = sub.add_parser(
+        "clean", help="prune old checkpoints under a root of log dirs "
+        "(scripts-private/clean-ckpts-and-logs.py equivalent)")
+    p.add_argument("root", help="root folder containing per-run log dirs")
+    p.add_argument("--pat", required=True,
+                   help="regex a run's checkpoints path must match")
+    p.add_argument("--skip_pat", default=None,
+                   help="regex of checkpoints paths to leave alone")
+    p.add_argument("--keep", type=int, default=1,
+                   help="number of most-recent checkpoints to keep")
+    p.add_argument("--del_samples", action="store_true",
+                   help="also delete each run's samples/ folder")
+    p.add_argument("--mock", action="store_true",
+                   help="print what would be deleted without deleting")
+
     args = ap.parse_args()
 
     if args.cmd in ("repl_vae", "repl_text"):
@@ -167,6 +182,14 @@ def main():
                           unet_lora_params=state.get("unet_lora_modules"),
                           mkv_multipliers=saved_mults)
         print(f"squeezed MKV {names} by {args.divisors} → {args.out}")
+    elif args.cmd == "clean":
+        from adaface_tpu.tools.ckpt_lib import clean_log_folders
+
+        n_del = clean_log_folders(
+            args.root, args.pat, skip_pat=args.skip_pat, keep=args.keep,
+            del_samples=args.del_samples, mock=args.mock)
+        print(f"{'would delete' if args.mock else 'deleted'} "
+              f"{n_del} checkpoint dirs")
 
 
 if __name__ == "__main__":

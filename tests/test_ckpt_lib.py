@@ -119,3 +119,39 @@ def test_flatten_unflatten_roundtrip():
     back = unflatten_tree(flat)
     np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
     np.testing.assert_array_equal(back["d"], tree["d"])
+
+
+def test_clean_log_folders(tmp_path):
+    from adaface_tpu.tools.ckpt_lib import clean_log_folders
+
+    for run, steps in [("runA", [500, 1000, 1500]), ("runB", [500]),
+                       ("skipme", [500, 1000])]:
+        ck = tmp_path / run / "checkpoints"
+        ck.mkdir(parents=True)
+        for s in steps:
+            d = ck / f"embeddings_gs-{s}"
+            d.mkdir()
+            (d / "manifest.json").write_text("{}")
+        (tmp_path / run / "samples").mkdir()
+        (tmp_path / run / "samples" / "x.png").write_text("")
+
+    # mock run deletes nothing
+    n = clean_log_folders(str(tmp_path), pat="run", mock=True)
+    assert n == 2
+    assert (tmp_path / "runA/checkpoints/embeddings_gs-500").exists()
+
+    n = clean_log_folders(str(tmp_path), pat="run", skip_pat="skipme",
+                          del_samples=True)
+    assert n == 2
+    assert not (tmp_path / "runA/checkpoints/embeddings_gs-500").exists()
+    assert not (tmp_path / "runA/checkpoints/embeddings_gs-1000").exists()
+    assert (tmp_path / "runA/checkpoints/embeddings_gs-1500").exists()
+    assert (tmp_path / "runB/checkpoints/embeddings_gs-500").exists()
+    assert not (tmp_path / "runA/samples").exists()
+    # skipped run untouched
+    assert (tmp_path / "skipme/checkpoints/embeddings_gs-500").exists()
+    assert (tmp_path / "skipme/samples").exists()
+
+    # keep=2 retains the two largest
+    n = clean_log_folders(str(tmp_path), pat="skipme", keep=2)
+    assert n == 0

@@ -116,3 +116,45 @@ def test_compare_folders_and_csv(tmp_path, clip_eval):
     append_score_row(str(csv_path), {"subject": "bob", **scores})
     lines = csv_path.read_text().strip().split("\n")
     assert len(lines) == 3  # header + 2 rows
+
+
+def test_freeu_prompt_set():
+    from adaface_tpu.evaluation.prompt_sets import FREEU_PROMPTS, PROMPT_SETS
+
+    assert PROMPT_SETS["freeu"] is FREEU_PROMPTS
+    assert len(FREEU_PROMPTS) >= 15
+    # subject-free: no format slot in any prompt
+    assert all("{}" not in p for p in FREEU_PROMPTS)
+    # subject sets keep exactly one slot
+    assert all(p.count("{}") == 1 for p in PROMPT_SETS["all"])
+
+
+def test_extract_frames_script(tmp_path):
+    import cv2
+
+    sys_path = str(tmp_path)
+    vid = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 8, (32, 32))
+    for i in range(12):
+        frame = np.full((32, 32, 3), i * 20, np.uint8)
+        w.write(frame)
+    w.release()
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "extract_frames", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "extract_frames.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out_prefix = str(tmp_path / "frame")
+    assert mod.extract_frames(vid, out_prefix, 4)
+    outs = sorted(p for p in os.listdir(tmp_path) if p.startswith("frame_"))
+    assert outs == [f"frame_{i}.png" for i in range(4)]
+    # evenly spaced: first frame dark, last frame bright
+    first = cv2.imread(str(tmp_path / "frame_0.png"))
+    last = cv2.imread(str(tmp_path / "frame_3.png"))
+    assert last.mean() > first.mean() + 50
+    # refuses when the video is too short
+    assert not mod.extract_frames(vid, sys_path + "/no", 999)

@@ -110,3 +110,57 @@ def test_augmentation_shapes_and_range():
     assert chw.shape == (3, 64, 64) and out_lbl.shape == (64, 64)
     # labels are either valid classes or the pad ignore value
     assert set(np.unique(out_lbl)) <= set(range(19)) | {255}
+
+
+def test_confusion_miou_and_overlay():
+    from adaface_tpu.train.face_parsing_train import (
+        colorize_parsing, confusion_matrix, miou_from_confusion,
+        overlay_parsing)
+
+    pred = np.array([0, 1, 1, 2, 2, 2])
+    label = np.array([0, 1, 2, 2, 2, 255])  # 255 = ignore
+    cm = confusion_matrix(pred, label, n_classes=3)
+    assert cm.sum() == 5  # ignore pixel dropped
+    m = miou_from_confusion(cm)
+    assert m["per_class_iou"][0] == 1.0
+    assert 0.0 < m["miou"] <= 1.0
+    assert m["pixel_acc"] == 4 / 5
+
+    # perfect prediction → mIoU 1
+    cm2 = confusion_matrix(label[:5], label[:5], n_classes=3)
+    assert miou_from_confusion(cm2)["miou"] == 1.0
+
+    parsing = np.zeros((8, 8), np.int64)
+    parsing[2:6, 2:6] = 5
+    color = colorize_parsing(parsing)
+    assert color.shape == (8, 8, 3)
+    assert (color[0, 0] == 0).all()  # background black
+    assert (color[3, 3] != color[0, 0]).any()
+    img = np.full((8, 8, 3), 200, np.uint8)
+    vis = overlay_parsing(img, parsing, alpha=0.6)
+    assert vis.shape == (8, 8, 3) and vis.dtype == np.uint8
+    # background pixels = 0.4 * image
+    assert abs(int(vis[0, 0, 0]) - 80) <= 1
+
+
+def test_evaluate_face_parsing_on_synthetic_dataset(tmp_path):
+    from PIL import Image
+
+    from adaface_tpu.models.bisenet import init_bisenet_params
+    from adaface_tpu.train.face_parsing_train import (
+        FaceMaskDataset, evaluate_face_parsing)
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = rng.integers(0, 255, size=(72, 72, 3)).astype(np.uint8)
+        lbl = rng.integers(0, 19, size=(72, 72)).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "images" / f"{i}.jpg")
+        Image.fromarray(lbl).save(tmp_path / "labels" / f"{i}.png")
+
+    ds = FaceMaskDataset(str(tmp_path), crop_size=64)
+    params = init_bisenet_params(jax.random.PRNGKey(0))
+    m = evaluate_face_parsing(params, ds, batch_size=2, max_batches=1)
+    assert 0.0 <= m["miou"] <= 1.0 and 0.0 <= m["pixel_acc"] <= 1.0
+    assert m["per_class_iou"].shape == (19,)
