@@ -404,14 +404,24 @@ def init_ffn_lora_params(
 # ---------------------------------------------------------------------------
 
 
-def _resnet(p, x, temb, cfg: UNetConfig, ffn_lora=None, lora_scale=0.125):
+def _resnet(p, x, temb, cfg: UNetConfig, ffn_lora=None, lora_scale=0.125,
+            lora_gate=None):
+    def ffn_conv(name, h):
+        lp = None if ffn_lora is None else ffn_lora.get(name)
+        y = dora_conv(p[name], lp, h, lora_scale)
+        if lp is not None and lora_gate is not None:
+            # per-example LoRA gate: the reference enables the comp ffn
+            # LoRA on 50% of guided_denoise calls and never on the mc
+            # block (`ddpm.py:1640,1703-1706`)
+            y = jnp.where(lora_gate[:, None, None, None] > 0, y,
+                          conv2d(p[name], h))
+        return y
+
     h = gn_silu(p["norm1"], x, cfg.norm_groups, cfg.norm_eps)
-    h = dora_conv(p["conv1"], None if ffn_lora is None else ffn_lora.get("conv1"),
-                  h, lora_scale)
+    h = ffn_conv("conv1", h)
     h = h + dense(p["time_emb_proj"], jax.nn.silu(temb))[:, None, None, :]
     h = gn_silu(p["norm2"], h, cfg.norm_groups, cfg.norm_eps)
-    h = dora_conv(p["conv2"], None if ffn_lora is None else ffn_lora.get("conv2"),
-                  h, lora_scale)
+    h = ffn_conv("conv2", h)
     if "conv_shortcut" in p:
         x = conv2d(p["conv_shortcut"], x, padding=0)
     return x + h
@@ -428,8 +438,14 @@ def _cross_attention(
     subj_mask: jax.Array | None,
     lora_scale: float,
     want_capture: bool,
+    lora_gate: jax.Array | None = None,  # [B] 1=LoRA, 0=plain (per example)
 ):
-    """Returns (out, captured|None). context None → self-attention."""
+    """Returns (out, captured|None). context None → self-attention.
+
+    `lora_gate` blends the LoRA'd projections with the plain ones per
+    batch row — the batched equivalent of the reference's per-block sliced
+    UNet calls with different use_attn_lora flags (`guided_denoise`,
+    `ddpm.py:1630-1712`: attn LoRA on ss/sc/sr, never on mc)."""
     b, n, c = x.shape
     hd = c // num_heads
     is_cross = context is not None
@@ -454,6 +470,8 @@ def _cross_attention(
         if use_lora and "q" in lora:
             q2 = dora_dense({"w": p["q"]["w"], "b": jnp.zeros((c,), x.dtype)},
                             lora["q"], x, lora_scale)
+            if lora_gate is not None:
+                q2 = jnp.where(lora_gate[:, None, None] > 0, q2, q)
             if rt.q_lora_updates_query:
                 q = q2
         else:
@@ -511,7 +529,12 @@ def _cross_attention(
 
     out = out_h.transpose(0, 2, 1, 3).reshape(b, n, c)
     if use_lora and "out" in lora:
-        out = dora_dense(p["o"], lora["out"], out, lora_scale)
+        out_l = dora_dense(p["o"], lora["out"], out, lora_scale)
+        if lora_gate is not None:
+            out = jnp.where(lora_gate[:, None, None] > 0, out_l,
+                            dense(p["o"], out))
+        else:
+            out = out_l
     else:
         out = dense(p["o"], out)
     if captured is not None:
@@ -521,7 +544,7 @@ def _cross_attention(
 
 def _transformer2d(
     p, x, context, cfg: UNetConfig, rt: AttnRuntime, kv_mask, img_mask_flat,
-    lora, subj_mask, want_capture,
+    lora, subj_mask, want_capture, lora_gate=None,
 ):
     b, h, w, c = x.shape
     residual = x
@@ -540,6 +563,7 @@ def _transformer2d(
     a2, captured = _cross_attention(
         bp["attn2"], layer_norm(bp["norm2"], y), context, cfg.num_heads,
         rt, kv_mask, lora, subj_mask, lora_scale, want_capture=want_capture,
+        lora_gate=lora_gate,
     )
     y = y + a2
     # GEGLU feed-forward
@@ -577,6 +601,8 @@ def unet_apply(
     num_frames: int = 1,  # frames per video when motion is given; B = V·F
     motion_cfg=None,  # MotionConfig override (defaults to MM_SD15_V2)
     deepcache: str | tuple | None = None,  # None | "collect" | ("shallow", feat)
+    attn_lora_gate: jax.Array | None = None,  # [B] per-example attn-LoRA gate
+    ffn_lora_gate: jax.Array | None = None,  # [B] per-example ffn-LoRA gate
 ):
     """Returns (eps [B,4,64,64], captured dict).
 
@@ -678,7 +704,8 @@ def unet_apply(
             if is_last and ffn_ad is not None and str(li) in ffn_ad:
                 ffn_lora_res = ffn_ad[str(li)]
             h = _resnet(res, jnp.concatenate([h, skip], axis=-1), temb, cfg,
-                        ffn_lora=ffn_lora_res, lora_scale=lora_scale)
+                        ffn_lora=ffn_lora_res, lora_scale=lora_scale,
+                        lora_gate=ffn_lora_gate)
             if cfg.up_has_attn[bi]:
                 want_cap = is_last and rt.capture
                 layer_lora = None
@@ -686,7 +713,8 @@ def unet_apply(
                     layer_lora = attn_lora.get(str(CAPTURE_LAYER_BASE + li))
                 h, cap = _transformer2d(
                     blk["attentions"][li], h, context, cfg, rt, kv_mask, im,
-                    layer_lora, subj_mask, want_capture=want_cap)
+                    layer_lora, subj_mask, want_capture=want_cap,
+                    lora_gate=attn_lora_gate)
                 if want_cap:
                     label = CAPTURE_LAYER_BASE + li
                     for k, val in (cap or {}).items():

@@ -211,7 +211,9 @@ def clean_log_folders(root: str, pat: str, skip_pat: str | None = None,
     would be, with mock=True)."""
     import shutil
 
-    step_re = re.compile(r"embeddings_gs-(\d+)")
+    if keep < 0:
+        raise ValueError(f"keep must be >= 0, got {keep}")
+    step_re = re.compile(r"embeddings_gs-(\d+)(\.pt|\.ckpt|\.safetensors)?$")
     n_deleted = 0
     for run in sorted(os.listdir(root)):
         ckpt_dir = os.path.join(root, run, "checkpoints")
@@ -222,7 +224,7 @@ def clean_log_folders(root: str, pat: str, skip_pat: str | None = None,
             continue
         entries = []
         for name in os.listdir(ckpt_dir):
-            m = step_re.match(name)
+            m = step_re.fullmatch(name)
             if m:
                 entries.append((int(m.group(1)), name))
         entries.sort()
@@ -235,7 +237,7 @@ def clean_log_folders(root: str, pat: str, skip_pat: str | None = None,
                 else:
                     os.remove(path)
             n_deleted += 1
-        for _, name in entries[-keep:]:
+        for _, name in (entries[-keep:] if keep > 0 else []):
             print(f"keeping:  {os.path.join(ckpt_dir, name)}")
         if del_samples:
             samples = os.path.join(root, run, "samples")

@@ -1,24 +1,36 @@
 """Stage-2 compositional-distillation training step.
 
-Rebuild of the comp-distill iteration (`ddpm.py:1923-2271, 3190-3600`):
+Reference-exact rebuild of the comp-distill iteration:
 
-1. `prime_comp_x_start` (`prime_x_start_for_comp_prompts:1923-1985`):
-   no-grad priming — start from noise at t∈[0.7, 0.9]·T and take a few
-   denoising steps under an ensemble-CFG of subj-single and cls-comp
-   contexts, producing a subject-layout-consistent x_start for all blocks.
-2. `comp_distill_denoise` (`comp_distill_multistep_denoise:1997-2092`):
-   a `lax.scan` over 4 denoising steps of the 4-block batch
-   [ss ‖ sc ‖ sc_rep ‖ mc] with activation capture; per-block gradient
-   gating replaces the reference's sliced no-grad UNet calls
-   (`sliced_apply_model`, `ddpm.py:1560-1750`) — only the SC block carries
-   gradients (SURVEY §7: "per-block grad gating via stop_gradient is
-   simpler and jit-friendly").
+1. `prime_comp_x_start` (`prime_x_start_for_comp_prompts`,
+   `ddpm.py:1923-1985`): two priming instances — subj-single and
+   cls-mix-comp (mix ratio `0.5 + cls_subj_mix_ratio/2 = 0.8`,
+   `ddpm.py:2398`) — start from fresh noise at t∈[0.7, 0.9]·T and are
+   denoised 3-4 steps by the priming (SAR/comp) UNet with CFG against the
+   uncond context, scale ~ U(2, 4) (`ddpm.py:595-610`,
+   `unet_teachers.py:64-187`). The primed starts are assigned per block as
+   [ss, cc, cc, cc] (`ddpm.py:2405-2410`).
+2. `comp_distill_denoise` (`comp_distill_multistep_denoise`,
+   `ddpm.py:1997-2092`): 4 denoising steps of the 4-block batch
+   [ss ‖ sc ‖ sc_rep ‖ cc_mix] (cc_mix = sc·0.4 + cc·0.6, `ddpm.py:1512`)
+   from t∈[0.45, 0.65]·T, each step CFG 2.5 against uncond
+   (`ddpm.py:2427`), chaining x_starts through detached x_recons; the
+   next timestep follows the teacher's power-law chain
+   t·[0.5^p, 0.7^p], p = (S-1)^-0.3 (`ddpm.py:2060-2076`). Per-block
+   gradient gating replaces the reference's sliced no-grad UNet calls
+   (`guided_denoise` batch_part_has_grad='subject-compos',
+   `ddpm.py:1630-1712`) — only the SC block carries gradients; attn LoRA
+   applies to ss/sc/sr but never mc; cross-attn normalization applies to
+   sc/sc_rep only; the comp ffn LoRA flips on for 50% of steps.
 3. `comp_distill_loss_fn`: assembles the stage-2 losses from the captured
-   activations (`calc_comp_feat_distill_loss:3190-3600`): attention-norm
-   alignment, subj-comp-rep attention distillation, elastic-matching
-   fg/bg preservation, cross-step attention consistency; the
-   face-alignment ArcFace losses plug in through precomputed bboxes
-   (`calc_comp_face_align_and_mb_suppress_losses:3602-3733`).
+   activations (`calc_comp_feat_distill_loss:3190-3600`); the prompt-delta
+   loss runs on the [ss, sc, cs_dist, cc_dist] context with the original
+   masks, exactly like `p_losses` (`ddpm.py:2286-2293` on
+   `prompt_emb_4b_orig_dist`).
+
+Randomness is materialized up front by `sample_comp_rand` (one PRNG
+stream → a dict of arrays mirroring every torch.randn/rand/randint draw of
+the reference), so golden tests can inject the oracle's exact draws.
 """
 
 from __future__ import annotations
@@ -28,9 +40,15 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from adaface_tpu.models import clip as clip_mod
 from adaface_tpu.models.unet import AttnRuntime, unet_apply
 from adaface_tpu.ops.schedules import DiffusionSchedule
+from adaface_tpu.text.embedding_manager import (
+    distribute_embedding_to_M_tokens,
+    splice_ada_embeddings,
+)
 from adaface_tpu.train.comp_losses import (
     calc_comp_subj_bg_preserve_loss,
     calc_sc_rep_attn_distill_loss,
@@ -41,19 +59,32 @@ from adaface_tpu.train.losses import (
     calc_prompt_emb_delta_loss,
     calc_subj_masked_bg_suppress_loss,
 )
-from adaface_tpu.train.train_step import (TrainConfig, _encode_prompts_with_ada,
-                                           compute_ada_embs)
+from adaface_tpu.train.train_step import TrainConfig, compute_ada_embs
 
 Params = dict[str, Any]
 
 
 @dataclasses.dataclass(frozen=True)
 class CompDistillConfig:
-    num_priming_steps: int = 2
-    num_denoising_steps: int = 4
-    priming_t_range: tuple[float, float] = (0.7, 0.9)
-    cls_comp_mix_ratio: float = 0.6  # subj-comp ‖ cls-comp mixing (`:1522`)
-    priming_cfg_scale: float = 2.0
+    # alternates 4/3 across comp iterations via the IterationPlanner
+    # (`ddpm.py:2388`: comp_iters_count % 2 - 1 + max(4))
+    num_priming_steps: int = 4
+    num_denoising_steps: int = 4  # num_comp_distill_denoising_steps (`:107`)
+    priming_t_range: tuple[float, float] = (0.7, 0.9)  # t_rear (`:1936`)
+    denoise_t_range: tuple[float, float] = (0.45, 0.65)  # t_midrear (`:2413`)
+    # subj-comp ‖ cls-comp mixing for the denoised cc block
+    # (`ddpm.py:84,1512`): cc_mix = sc·(1-r) + cc·r — 60% CLASS; priming
+    # uses the stronger 0.5 + r/2 = 0.8 (`:2398`)
+    cls_subj_mix_ratio: float = 0.6
+    priming_cfg_scale_range: tuple[float, float] = (2.0, 4.0)  # `:608`
+    denoise_cfg_scale: float = 2.5  # `:2427`
+    # ps_comp_attn_aug = [0, 1, 0] (`:138`): always normalize, never mix
+    normalize_cross_attn: bool = True
+    mix_sc_mc_attn: bool = False
+    use_attn_lora: bool = True  # unet_uses_attn_lora (`:128`)
+    use_ffn_lora: bool = True  # comp_uses_ffn_lora (`:130`)
+    p_comp_ffn_lora: float = 0.5  # per-step gate (`guided_denoise:1640`)
+    res_hidden_gradscale: float = 0.5  # `:141`
     attn_norm_weight: float = 0.02
     rep_distill_weight: float = 0.02
     fg_bg_preserve_weight: float = 1.0
@@ -73,120 +104,315 @@ class CompDistillConfig:
     # {'gma': gma params} (convert_gma_state_dict of gma-sintel.pth).
     use_face_flow: bool = False
     small_motion_ignore_thres: float = 0.3
+    # UNet compute dtype: bfloat16 on TPU (the reference autocasts to fp16,
+    # `ddpm.py:4225`); golden tests set "float32" for exact parity
+    compute_dtype: str = "bfloat16"
+
+
+def _chain_power(num_steps: int) -> float:
+    """p such that the next timestep ∈ t·[0.5^p, 0.7^p]
+    (`unet_teachers.py:162-175`, reused by `ddpm.py:2060-2076`)."""
+    return float(np.power(max(num_steps - 1, 1), -0.3))
+
+
+def sample_comp_rand(
+    rng: jax.Array,
+    noise: jax.Array,  # [B, 4, h, w] — the p_losses noise (`ddpm.py:2278`)
+    schedule: DiffusionSchedule,
+    cfg: CompDistillConfig,
+) -> Params:
+    """Materialize every random draw of the comp iteration as arrays, in
+    the order the reference makes them. Golden tests replace this dict
+    with the oracle's recorded draws."""
+    b = noise.shape[0]
+    sh = noise.shape[1:]
+    t_total = schedule.num_timesteps
+    n_p, n_d = cfg.num_priming_steps, cfg.num_denoising_steps
+    ks = jax.random.split(rng, 9)
+
+    # priming: initial noise is the caller's noise, collapsed to the first
+    # instance (same_t_noise_across_instances, `unet_teachers.py:112-115`);
+    # later steps draw fresh noise, likewise collapsed (`:170-180`)
+    prime_noises = [noise[:1]]
+    for k in jax.random.split(ks[0], max(n_p - 1, 1))[: n_p - 1]:
+        prime_noises.append(jax.random.normal(k, (1, *sh), noise.dtype))
+    return {
+        # x_start_2 = torch.randn_like(x_start)[:B].repeat(2) (`:1932`)
+        "prime_x0": jax.random.normal(ks[1], noise.shape, noise.dtype),
+        "prime_t0": jax.random.randint(
+            ks[2], (), int(cfg.priming_t_range[0] * t_total),
+            int(cfg.priming_t_range[1] * t_total)),
+        "prime_cfg_scale": jax.random.uniform(
+            ks[3], (), minval=cfg.priming_cfg_scale_range[0],
+            maxval=cfg.priming_cfg_scale_range[1]),
+        "prime_noises": jnp.stack(prime_noises),  # [Np, 1, 4, h, w]
+        "prime_rel_ts": jax.random.uniform(ks[4], (max(n_p - 1, 0),)),
+        # main denoise: noise regenerated after priming (`ddpm.py:2403`),
+        # per step fresh + shared across the 4 blocks (`:2057-2059`)
+        "den_t0": jax.random.randint(
+            ks[5], (b,), int(cfg.denoise_t_range[0] * t_total),
+            int(cfg.denoise_t_range[1] * t_total)),
+        "den_noises": jax.random.normal(ks[6], (n_d, b, *sh), noise.dtype),
+        "den_rel_ts": jax.random.uniform(ks[7], (max(n_d - 1, 0), b)),
+        # 50%-probability comp ffn LoRA per guided_denoise call (`:1640`)
+        "den_ffn_gates": (jax.random.uniform(ks[8], (n_d,)) < cfg.p_comp_ffn_lora
+                          ).astype(jnp.float32),
+    }
 
 
 def prime_comp_x_start(
     unet_params: Params,
     unet_cfg,
     schedule: DiffusionSchedule,
-    x_noise: jax.Array,  # [B, 4, h, w] pure noise start
     ctx_subj_single: jax.Array,  # [B, S, D]
-    ctx_cls_comp: jax.Array,  # [B, S, D]
-    rng: jax.Array,
+    ctx_cls_mix_prime: jax.Array,  # [B, S, D] sc·0.2 + cc·0.8
+    uncond_ctx: jax.Array,  # [1, S, D]
+    rand: Params,
     cfg: CompDistillConfig = CompDistillConfig(),
 ):
-    """No-grad priming: a few high-t denoise steps under subj-single +
-    cls-comp ensemble CFG → x_start for the comp blocks."""
-    t_total = schedule.num_timesteps
-    b = x_noise.shape[0]
-    k_t, k_loop = jax.random.split(rng)
-    t0 = jax.random.randint(
-        k_t, (b,), int(cfg.priming_t_range[0] * t_total),
-        int(cfg.priming_t_range[1] * t_total))
+    """No-grad priming (`prime_x_start_for_comp_prompts` through the
+    always-CFG priming teacher, `ddpm.py:1923-1985` + `unet_teachers.py:
+    64-187`) → (x_primed_single [B,…], x_primed_comp [B,…])."""
+    b = ctx_subj_single.shape[0]
+    dt = jnp.dtype(cfg.compute_dtype)
+    n_steps = cfg.num_priming_steps
+    x = jnp.tile(rand["prime_x0"], (2, 1, 1, 1))  # [2B]: same start, 2 ctxs
+    t = jnp.full((2 * b,), rand["prime_t0"], jnp.int32)
+    ctx2 = jnp.concatenate([ctx_subj_single, ctx_cls_mix_prime],
+                           axis=0).astype(dt)
+    un2 = jnp.broadcast_to(uncond_ctx, (2 * b, *uncond_ctx.shape[1:])
+                           ).astype(dt)
+    ctx4 = jnp.concatenate([ctx2, un2], axis=0)
+    s = rand["prime_cfg_scale"]
+    p = _chain_power(n_steps)
+    lb_f, ub_f = 0.5 ** p, 0.7 ** p
 
-    ctx2 = jnp.concatenate([ctx_subj_single, ctx_cls_comp],
-                           axis=0).astype(jnp.bfloat16)
+    for i in range(n_steps):
+        noise2 = jnp.broadcast_to(rand["prime_noises"][i], x.shape)
+        x_t = schedule.q_sample(x, t, noise2)
+        # pos + neg folded into one 4B-row UNet call (both are no-grad)
+        x4 = jnp.concatenate([x_t, x_t], axis=0).astype(dt)
+        t4 = jnp.concatenate([t, t], axis=0)
+        eps4, _ = unet_apply(unet_params, x4, t4, ctx4, unet_cfg)
+        eps_pos, eps_neg = jnp.split(eps4.astype(x.dtype), 2, axis=0)
+        # CFG with the uncond context (`unet_teachers.py:153-155`)
+        eps = eps_pos * s - eps_neg * (s - 1.0)
+        x = schedule.predict_start_from_noise(x_t, t, eps)
+        if i < n_steps - 1:
+            tf = t.astype(jnp.float32)
+            t = ((tf * ub_f - tf * lb_f) * rand["prime_rel_ts"][i]
+                 + tf * lb_f).astype(jnp.int32)
+    x_single, x_comp = jnp.split(jax.lax.stop_gradient(x), 2, axis=0)
+    return x_single, x_comp
 
-    def step(carry, key):
-        x0, t = carry
-        noise = jax.random.normal(key, x0.shape, x0.dtype)
-        x_t = schedule.q_sample(x0, t, noise)
-        x2 = jnp.concatenate([x_t, x_t], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        eps2, _ = unet_apply(unet_params, x2.astype(jnp.bfloat16), t2, ctx2,
-                             unet_cfg)
-        eps2 = eps2.astype(x0.dtype)
-        eps_ss, eps_cc = jnp.split(eps2, 2, axis=0)
-        # ensemble CFG between the two contexts (`:1950-1975`)
-        eps = eps_cc + cfg.priming_cfg_scale * (eps_ss - eps_cc) * 0.5 \
-            + (eps_ss + eps_cc) * 0.25
-        x0_next = schedule.predict_start_from_noise(x_t, t, eps)
-        t_next = (t.astype(jnp.float32) * 0.6).astype(jnp.int32)
-        return (x0_next, t_next), None
 
-    keys = jax.random.split(k_loop, cfg.num_priming_steps)
-    (x0, _), _ = jax.lax.scan(step, (x_noise, t0), keys)
-    return jax.lax.stop_gradient(x0)
+def _gate4(x: jax.Array) -> jax.Array:
+    """stop_gradient on the ss / sc_rep / mc blocks — the batched
+    equivalent of `sliced_apply_model(..., enable_grad=False)` on blocks
+    0/2/3 (`guided_denoise`, `ddpm.py:1630-1712`)."""
+    ss, sc, sr, mc = jnp.split(x, 4, axis=0)
+    return jnp.concatenate([
+        jax.lax.stop_gradient(ss), sc,
+        jax.lax.stop_gradient(sr), jax.lax.stop_gradient(mc)], axis=0)
 
 
 def comp_distill_denoise(
     unet_params: Params,
     unet_cfg,
     schedule: DiffusionSchedule,
-    x_start: jax.Array,  # [B, 4, h, w] primed start (shared by the 4 blocks)
-    ctx4: jax.Array,  # [4B, S, D] ss ‖ sc ‖ sc_rep ‖ mc contexts
-    subj_mask: jax.Array,  # [4B, S]
-    rng: jax.Array,
+    x_start4: jax.Array,  # [4B, 4, h, w] primed starts [ss, cc, cc, cc]
+    ctx4: jax.Array,  # [4B, S, D] ss ‖ sc ‖ sc_rep ‖ cc_mix contexts
+    uncond_ctx: jax.Array,  # [1, S, D]
+    subj_mask4: jax.Array,  # [4B, S] subject-token positions
+    rand: Params,
     attn_lora: Params | None = None,
+    ffn_lora: Params | None = None,
     cfg: CompDistillConfig = CompDistillConfig(),
-    use_attn_lora: bool = False,
 ):
-    """→ (captured_per_step: list of activation dicts, x_starts [S+1,4B,…],
-    ts [S,4B]). Only the SC block (index 1) carries gradients."""
-    b = x_start.shape[0]
-    x4 = jnp.tile(x_start, (4, 1, 1, 1))
+    """→ (captured_per_step: list of activation dicts, x_recons: list of
+    [4B,…] per-step CFG'd reconstructions, ts: list of [4B]).
 
-    def gate_blocks(x):
-        """stop_gradient on ss / sc_rep / mc blocks."""
-        ss, sc, sr, mc = jnp.split(x, 4, axis=0)
-        return jnp.concatenate([
-            jax.lax.stop_gradient(ss), sc,
-            jax.lax.stop_gradient(sr), jax.lax.stop_gradient(mc)], axis=0)
+    Only the SC block (index 1) carries gradients; x_starts chain through
+    DETACHED x_recons (`ddpm.py:2080-2086`, old_x_starts_mix_ratio=0)."""
+    b4 = x_start4.shape[0]
+    b = b4 // 4
+    n_steps = cfg.num_denoising_steps
+    mix = cfg.mix_sc_mc_attn
+    normalize = cfg.normalize_cross_attn and not mix
+    use_attn_lora = cfg.use_attn_lora and attn_lora is not None and not mix
+    use_ffn_lora = cfg.use_ffn_lora and ffn_lora is not None and not mix
 
-    t_total = schedule.num_timesteps
-    k_t, k_loop = jax.random.split(rng)
-    t0 = jax.random.randint(k_t, (1,), int(0.55 * t_total), int(0.75 * t_total))
-    t0 = jnp.broadcast_to(t0, (4 * b,))
+    # attn LoRA on ss/sc/sr, never mc (`ddpm.py:1698-1706`); the ffn gate
+    # additionally flips per step
+    block_gate = jnp.concatenate(
+        [jnp.ones((3 * b,), jnp.float32), jnp.zeros((b,), jnp.float32)])
+    # normalization applies to sc/sc_rep only: ss rows are zeroed; cls rows
+    # carry no subject tokens so their mask is already zero
+    # (`extra_info_ss['normalize_cross_attn'] = False`, `ddpm.py:1641`)
+    norm_mask = jnp.concatenate(
+        [jnp.zeros_like(subj_mask4[:b]), subj_mask4[b:]], axis=0)
 
-    rt = AttnRuntime(capture=True, use_attn_lora=use_attn_lora,
-                     q_lora_updates_query=False)
+    rt = AttnRuntime(
+        capture=True,
+        use_attn_lora=use_attn_lora,
+        use_ffn_lora=use_ffn_lora,
+        ffn_adapter="comp_distill",
+        normalize_cross_attn=normalize,
+        mix_attn_mats_in_batch=False,
+        res_hidden_gradscale=cfg.res_hidden_gradscale,
+    )
+    # the uncond CFG pass keeps the (step-gated) ffn LoRA on ALL rows but
+    # never the attn LoRA (`guided_denoise`, `ddpm.py:1728-1734`:
+    # use_attn_lora=False, use_ffn_lora=use_ffn_lora)
+    rt_uncond = AttnRuntime(use_ffn_lora=use_ffn_lora,
+                            ffn_adapter="comp_distill",
+                            res_hidden_gradscale=1.0)
 
-    captured_steps = []
-    x_starts = [x4]
-    ts = []
-    x0, t = x4, t0
-    keys = jax.random.split(k_loop, cfg.num_denoising_steps)
+    s = cfg.denoise_cfg_scale
+    dt = jnp.dtype(cfg.compute_dtype)
+    p = _chain_power(n_steps)
+    lb_f, ub_f = 0.5 ** p, 0.7 ** p
+    un4 = jnp.broadcast_to(uncond_ctx, (b4, *uncond_ctx.shape[1:])
+                           ).astype(dt)
+    ctx_h = ctx4.astype(dt)
 
     # bf16 UNet activations (the reference autocasts UNet calls to fp16,
     # `ddpm.py:4225`) + per-step rematerialization: without remat the
     # 4-block × 4-step backward needs ~34 GB of fp32 HLO temps — over 2×
     # v5e HBM; with checkpoint the backward recomputes each step's forward
-    ctx_h = ctx4.astype(jnp.bfloat16)
+    def cond_step(params, a_lora, f_lora, x_t, t, ffn_gate):
+        if mix:
+            # joint sc+mc attention mixing (`ddpm.py:1664-1684`): ss and sr
+            # run plainly, [sc, mc] run as one batch with mixed attn mats
+            ss_x, sc_x, sr_x, mc_x = jnp.split(x_t, 4, axis=0)
+            ss_c, sc_c, sr_c, mc_c = jnp.split(ctx_h, 4, axis=0)
+            t1, t2_, t3, t4 = jnp.split(t, 4, axis=0)
+            rt_plain = dataclasses.replace(rt, mix_attn_mats_in_batch=False)
+            rt_mix = dataclasses.replace(rt, mix_attn_mats_in_batch=True)
+            eps_ss, cap_ss = unet_apply(params, ss_x, t1, ss_c, unet_cfg,
+                                        rt=rt_plain)
+            eps_sr, cap_sr = unet_apply(params, sr_x, t3, sr_c, unet_cfg,
+                                        rt=rt_plain)
+            eps_sm, cap_sm = unet_apply(
+                params, jnp.concatenate([sc_x, mc_x]),
+                jnp.concatenate([t2_, t4]),
+                jnp.concatenate([sc_c, mc_c]), unet_cfg, rt=rt_mix)
+            eps_sc, eps_mc = jnp.split(eps_sm, 2, axis=0)
+            eps = jnp.concatenate([eps_ss, eps_sc, eps_sr, eps_mc], axis=0)
 
-    def unet_step(params, lora, x_t, t):
-        return unet_apply(params, x_t, t, ctx_h, unet_cfg, rt=rt,
-                          attn_lora=lora, subj_mask=subj_mask)
+            def join(k_ss, k_sm, k_sr):
+                sc_c_, mc_c_ = jnp.split(k_sm, 2, axis=0)
+                return jnp.concatenate([k_ss, sc_c_, k_sr, mc_c_], axis=0)
 
-    unet_step = jax.checkpoint(unet_step)
+            cap = jax.tree_util.tree_map(join, cap_ss, cap_sm, cap_sr)
+            return eps, cap
+        gates = block_gate * ffn_gate
+        return unet_apply(
+            params, x_t, t, ctx_h, unet_cfg, rt=rt,
+            attn_lora=a_lora, ffn_lora=f_lora, subj_mask=norm_mask,
+            attn_lora_gate=block_gate if use_attn_lora else None,
+            ffn_lora_gate=gates if use_ffn_lora else None)
 
-    # python loop (static step count): each step's capture dict is a
-    # separate pytree output; scan would stack them, which is fine too, but
-    # the per-step losses index different steps, so keep them unstacked.
-    for i in range(cfg.num_denoising_steps):
-        k1, k2 = jax.random.split(keys[i])
-        noise = jax.random.normal(k1, (b, *x0.shape[1:]), x0.dtype)
-        noise4 = jnp.tile(noise, (4, 1, 1, 1))
-        x_t = schedule.q_sample(gate_blocks(x0), t, noise4)
-        eps, cap = unet_step(unet_params, attn_lora,
-                             x_t.astype(jnp.bfloat16), t)
-        eps = eps.astype(x0.dtype)
-        x0 = schedule.predict_start_from_noise(x_t, t, eps)
+    cond_step = jax.checkpoint(cond_step, static_argnums=())
+
+    captured_steps = []
+    x_recons = []
+    ts = []
+    x = x_start4
+    t = jnp.tile(rand["den_t0"], (4,))
+    for i in range(n_steps):
+        noise4 = jnp.tile(rand["den_noises"][i], (4, 1, 1, 1))
+        x_t = schedule.q_sample(x, t, noise4)
+        eps, cap = cond_step(unet_params, attn_lora, ffn_lora,
+                             x_t.astype(dt), t,
+                             rand["den_ffn_gates"][i])
+        # per-block gradient gating on outputs = sliced enable_grad calls
+        eps = _gate4(eps.astype(x.dtype))
+        cap = jax.tree_util.tree_map(_gate4, cap)
+        # CFG 2.5 against uncond, no grad on the uncond pass (`:1717-1745`)
+        eps_un, _ = unet_apply(
+            unet_params, x_t.astype(dt), t, un4, unet_cfg, rt=rt_uncond,
+            ffn_lora=ffn_lora if use_ffn_lora else None,
+            ffn_lora_gate=(jnp.broadcast_to(rand["den_ffn_gates"][i], (b4,))
+                           if use_ffn_lora else None))
+        eps_cfg = eps * s - jax.lax.stop_gradient(eps_un.astype(x.dtype)) \
+            * (s - 1.0)
+        x_recon = schedule.predict_start_from_noise(x_t, t, eps_cfg)
         captured_steps.append(cap)
-        x_starts.append(x0)
+        x_recons.append(x_recon)
         ts.append(t)
-        rel = jax.random.uniform(k2, (1,))
-        t = (t.astype(jnp.float32) * (0.5 + 0.2 * rel)).astype(jnp.int32)
-    return captured_steps, x_starts, ts
+        # chain through the DETACHED recon (`x_recon.detach()`, `:2082`)
+        x = jax.lax.stop_gradient(x_recon)
+        if i < n_steps - 1:
+            tf = t[:b].astype(jnp.float32)
+            et = ((tf * ub_f - tf * lb_f) * rand["den_rel_ts"][i]
+                  + tf * lb_f).astype(jnp.int32)
+            t = jnp.tile(et, (4,))
+    return captured_steps, x_recons, ts
+
+
+def encode_comp_prompts(
+    frozen: Params,
+    ada_embs: jax.Array,  # [B, K, D]
+    batch: Params,
+    cfg: TrainConfig,
+):
+    """Encode the 5-block comp prompt batch [ss ‖ sc ‖ sc_rep ‖ cs ‖ cc]
+    (`LatentDiffusion.forward`, `ddpm.py:1400-1530`).
+
+    → dict with per-block contexts (ss/sc/sr/cc), the distributed class
+    contexts for the delta loss (cs_dist/cc_dist, `ddpm.py:1466-1474`),
+    and the uncond context (`ddpm.py:684-687`). The sc_rep block is
+    encoded with FIXED clip-skip weights (randomize_clip_weights=False,
+    `ddpm.py:1419-1424`); the other four use the per-iteration weights."""
+    ids = batch["prompt_ids"]  # [5B, S]
+    splice_map = batch["splice_map"]  # [5B, S]
+    b = ada_embs.shape[0]
+    table = frozen["text_encoder"]["token_embedding"]
+    base = table[ids]
+    zeros = jnp.zeros_like(ada_embs)
+    ada5 = jnp.concatenate([ada_embs, ada_embs, ada_embs, zeros, zeros], axis=0)
+    embs = splice_ada_embeddings(base, ada5, splice_map)
+    if batch.get("merge_map") is not None:
+        from adaface_tpu.text.embedding_manager import apply_merge_map
+
+        embs = apply_merge_map(embs, batch["merge_map"])
+
+    skip_w = batch.get("clip_skip_weights")
+    if skip_w is None:
+        skip_w = jnp.asarray(cfg.clip_skip_weights)
+    fixed_w = batch.get("clip_skip_weights_fixed")
+    if fixed_w is None:
+        fixed_w = jnp.asarray(cfg.clip_skip_weights)
+
+    def rows(x, blocks):
+        return jnp.concatenate([x[i * b:(i + 1) * b] for i in blocks], axis=0)
+
+    # blocks ss/sc/cs/cc with the per-iteration (Dirichlet) weights
+    ctx4 = clip_mod.text_encode(
+        frozen["text_encoder"], rows(ids, (0, 1, 3, 4)), cfg.clip_text,
+        input_embs=rows(embs, (0, 1, 3, 4)),
+        skip_weights=skip_w)["last_hidden_state"]
+    ss, sc, cs, cc = jnp.split(ctx4, 4, axis=0)
+    # sc_rep with fixed weights (`randomize_clip_weights=False`, `:1422`)
+    sr = clip_mod.text_encode(
+        frozen["text_encoder"], ids[2 * b:3 * b], cfg.clip_text,
+        input_embs=embs[2 * b:3 * b],
+        skip_weights=fixed_w)["last_hidden_state"]
+
+    # uncond context: CLIP("") with fixed weights (`ddpm.py:684-687`)
+    uncond = clip_mod.text_encode(
+        frozen["text_encoder"], batch["uncond_ids"][:1], cfg.clip_text,
+        skip_weights=fixed_w)["last_hidden_state"]
+
+    # distributed class contexts for the delta loss, indexed by the
+    # subject-single block's placeholder positions
+    # (`distribute_embedding_to_M_tokens_by_dict`, `ddpm.py:1466-1474`)
+    ss_map = splice_map[:b]
+    cs_dist = distribute_embedding_to_M_tokens(cs, ss_map, uncond)
+    cc_dist = distribute_embedding_to_M_tokens(cc, ss_map, uncond)
+    return {"ss": ss, "sc": sc, "sr": sr, "cs": cs, "cc": cc,
+            "cs_dist": cs_dist, "cc_dist": cc_dist, "uncond": uncond}
 
 
 def comp_distill_loss_fn(
@@ -201,11 +427,12 @@ def comp_distill_loss_fn(
     """Full comp-distill iteration loss.
 
     batch: img_prompt_embs [B,K,D]; prompt_ids/splice_map/prompt_emb_mask/
-    prompt_pad_mask [4B,…] (ss/sc/cs→sc_rep/cc blocks); ss_face_bboxes /
-    sc_face_bboxes [B,4] (latent coords, host-detected on decoded recons);
-    sc_fg_mask_percent scalar; noise [B,4,h,w].
+    prompt_pad_mask [5B,…] ([ss ‖ sc ‖ sc_rep ‖ cs ‖ cc] blocks);
+    uncond_ids [1,S]; ss_face_bboxes / sc_face_bboxes [B,4] (latent
+    coords, host-detected on decoded recons); sc_fg_mask_percent scalar;
+    noise [B,4,h,w]; optional comp_rand (pre-sampled randomness).
     """
-    k_ada, k_prime, k_denoise = jax.random.split(rng, 3)
+    k_rand = rng
     # comp iterations use the first instance's embeddings for the whole
     # batch (`embedding_manager.py:316-320`)
     ada = compute_ada_embs(trainable, frozen,
@@ -213,33 +440,51 @@ def comp_distill_loss_fn(
     b = batch["img_prompt_embs"].shape[0]
     ada = jnp.tile(ada, (b, 1, 1))
 
-    ctx4 = _encode_prompts_with_ada(frozen, ada, batch, cfg)
-    ss_ctx, sc_ctx, sr_ctx, cc_ctx = jnp.split(ctx4, 4, axis=0)
-    # mix cls-comp into subj-comp-rep (`forward:1522` ratio 0.6)
-    mix = comp_cfg.cls_comp_mix_ratio
-    cc_mix_ctx = sc_ctx * mix + cc_ctx * (1 - mix)
-    ctx4_run = jnp.concatenate([ss_ctx, sc_ctx, sr_ctx, cc_mix_ctx], axis=0)
+    ctx = encode_comp_prompts(frozen, ada, batch, cfg)
 
-    # optional fg-seeded start: the trainer puts a latent whose fg region
-    # comes from the training image into `comp_x_base` (see
-    # `Trainer._prepare_batch`); priming's first q_sample at t0∈[0.7,0.9]·T
+    # denoise-context mixing (`ddpm.py:1512`): 60% CLASS comp embedding
+    r = comp_cfg.cls_subj_mix_ratio
+    cc_mix = ctx["sc"] * (1.0 - r) + ctx["cc"] * r
+    ctx4_run = jnp.concatenate([ctx["ss"], ctx["sc"], ctx["sr"], cc_mix],
+                               axis=0)
+    # priming mixes with the stronger 0.5 + r/2 = 0.8 (`ddpm.py:2398`)
+    r_prime = 0.5 + r / 2.0
+    cc_mix_prime = ctx["sc"] * (1.0 - r_prime) + ctx["cc"] * r_prime
+
+    rand = batch.get("comp_rand")
+    if rand is None:
+        rand = sample_comp_rand(k_rand, batch["noise"], schedule, comp_cfg)
+
+    # optional fg-seeded start (`ldm/util.py:1599-1677`, opt-in): replaces
+    # the fresh priming noise; priming's first q_sample at t0∈[0.7,0.9]·T
     # renoises it while preserving the subject layout.
-    x_base = batch.get("comp_x_base", batch["noise"])
-    x_prime = prime_comp_x_start(
-        frozen["unet"], cfg.unet, schedule, x_base, ss_ctx,
-        cc_mix_ctx, k_prime, comp_cfg)
+    if "comp_x_base" in batch:
+        rand = dict(rand, prime_x0=batch["comp_x_base"])
 
-    subj_mask4 = (batch["splice_map"] >= 0).astype(jnp.float32)
-    captured_steps, x_starts, ts = comp_distill_denoise(
-        frozen["unet"], cfg.unet, schedule, x_prime, ctx4_run, subj_mask4,
-        k_denoise,
+    x_ss, x_cc = prime_comp_x_start(
+        frozen["unet"], cfg.unet, schedule, ctx["ss"], cc_mix_prime,
+        ctx["uncond"], rand, comp_cfg)
+    # sc/sc_rep/mc share the comp primed start (`ddpm.py:2405-2410`)
+    x4 = jnp.concatenate([x_ss, x_cc, x_cc, x_cc], axis=0)
+
+    # denoise-batch 4-block masks: [ss, sc, sc_rep, cc] rows of the
+    # 5-block plan (`prompt_emb_mask_4b`, `ddpm.py:1519-1526`)
+    def rows4(x):
+        return jnp.concatenate(
+            [x[:3 * b], x[4 * b:5 * b]], axis=0)
+
+    splice4 = rows4(batch["splice_map"])
+    subj_mask4 = (splice4 >= 0).astype(jnp.float32)
+    captured_steps, x_recons, ts = comp_distill_denoise(
+        frozen["unet"], cfg.unet, schedule, x4, ctx4_run, ctx["uncond"],
+        subj_mask4, rand,
         attn_lora=trainable.get("attn_lora"),
+        ffn_lora=trainable.get("ffn_lora"),
         cfg=comp_cfg,
-        use_attn_lora="attn_lora" in trainable,
     )
 
     last = captured_steps[-1]
-    prev = captured_steps[-2]
+    prev = captured_steps[-2] if len(captured_steps) > 1 else last
     subj_mask_1b = subj_mask4[:b]
 
     loss_attn_norm = calc_attn_norm_loss(
@@ -247,9 +492,11 @@ def comp_distill_loss_fn(
          for k, v in last["attnscore"].items()},
         subj_mask_1b)
 
+    emb_mask4 = rows4(batch["prompt_emb_mask"])
+    pad_mask4 = rows4(batch["prompt_pad_mask"])
     rep_losses = calc_sc_rep_attn_distill_loss(
-        last, subj_mask_1b, batch["prompt_emb_mask"],
-        batch["prompt_pad_mask"], batch.get("sc_fg_mask_percent", 1.0))
+        last, subj_mask_1b, emb_mask4, pad_mask4,
+        batch.get("sc_fg_mask_percent", 1.0))
 
     flow_fn = None
     if comp_cfg.use_face_flow and "flow" in frozen:
@@ -269,7 +516,15 @@ def comp_distill_loss_fn(
     loss_mb = calc_subj_masked_bg_suppress_loss(
         sc_attn, subj_mask_1b, batch.get("fg_mask"))
 
-    loss_delta = calc_prompt_emb_delta_loss(ctx4, batch.get("prompt_emb_mask"))
+    # prompt-delta loss on [ss, sc, cs_dist, cc_dist] with the ORIGINAL
+    # masks (`prompt_emb_4b_orig_dist` + `prompt_emb_mask_4b_orig`,
+    # `ddpm.py:2286-2293`)
+    ctx4_delta = jnp.concatenate(
+        [ctx["ss"], ctx["sc"], ctx["cs_dist"], ctx["cc_dist"]], axis=0)
+    emb_mask_orig = jnp.concatenate(
+        [batch["prompt_emb_mask"][:2 * b],
+         batch["prompt_emb_mask"][3 * b:5 * b]], axis=0)
+    loss_delta = calc_prompt_emb_delta_loss(ctx4_delta, emb_mask_orig)
 
     loss_rep = sum(rep_losses.values())
     loss = (

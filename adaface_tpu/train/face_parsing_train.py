@@ -287,11 +287,36 @@ class FaceMaskDataset:
         lbl = np.asarray(Image.open(lp).convert("L"))
         return augment_face_parsing(img, lbl, self.rng, self.crop_size)
 
+    def get_eval(self, i):
+        """Deterministic (image, label) pair: resize to crop_size with no
+        augmentation/jitter — the standard segmentation-eval protocol."""
+        from PIL import Image
+
+        ip, lp = self.items[i]
+        s = self.crop_size
+        img = Image.open(ip).convert("RGB").resize((s, s), Image.BILINEAR)
+        lbl = Image.open(lp).convert("L").resize((s, s), Image.NEAREST)
+        arr = np.asarray(img).astype(np.float32) / 255.0
+        arr = (arr - np.asarray([0.485, 0.456, 0.406])) / np.asarray(
+            [0.229, 0.224, 0.225])
+        return (arr.transpose(2, 0, 1).astype(np.float32),
+                np.asarray(lbl, np.uint8))
+
     def batches(self, batch_size: int, steps: int):
         n = len(self.items)
         for _ in range(steps):
             idx = self.rng.integers(0, n, batch_size)
             pairs = [self[int(i)] for i in idx]
+            yield (np.stack([p[0] for p in pairs]),
+                   np.stack([p[1] for p in pairs]))
+
+    def eval_batches(self, batch_size: int):
+        """Sequential full pass, deterministic preprocessing — each image
+        seen exactly once, no augmentation (unbiased mIoU/pixel-acc)."""
+        for start in range(0, len(self.items), batch_size):
+            pairs = [self.get_eval(i)
+                     for i in range(start, min(start + batch_size,
+                                               len(self.items)))]
             yield (np.stack([p[0] for p in pairs]),
                    np.stack([p[1] for p in pairs]))
 
@@ -328,20 +353,24 @@ def miou_from_confusion(cm: "np.ndarray") -> dict:
 
 
 def evaluate_face_parsing(params: Params, dataset: "FaceMaskDataset",
-                          batch_size: int = 8, max_batches: int = 50,
+                          batch_size: int = 8, max_batches: int | None = None,
                           n_classes: int = 19) -> dict:
     """mIoU of a BiSeNet over held-out (image, label) pairs. The reference's
     `face_parsing/evaluate.py` only renders overlays; we additionally report
-    the standard segmentation metrics so parsing training is gateable."""
+    the standard segmentation metrics so parsing training is gateable.
+
+    Uses `dataset.eval_batches`: one sequential full pass with deterministic
+    resize (no jitter/flip/random-crop), so every image is counted exactly
+    once and the metric is unbiased. `max_batches` optionally truncates the
+    pass for smoke runs."""
     from adaface_tpu.models.bisenet import bisenet_forward
 
     fwd = jax.jit(lambda p, x: jnp.argmax(bisenet_forward(p, x), axis=1))
     cm = np.zeros((n_classes, n_classes), np.int64)
-    for bi, (images, labels) in enumerate(
-            dataset.batches(batch_size, max_batches)):
+    for bi, (images, labels) in enumerate(dataset.eval_batches(batch_size)):
         pred = np.asarray(fwd(params, jnp.asarray(images)))
         cm += confusion_matrix(pred, labels, n_classes)
-        if bi + 1 >= max_batches:
+        if max_batches is not None and bi + 1 >= max_batches:
             break
     return miou_from_confusion(cm)
 

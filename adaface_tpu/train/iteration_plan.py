@@ -28,6 +28,9 @@ class IterationFlags:
     seed: int
     do_prompt_emb_delta_reg: bool
     num_denoising_steps: int = 1
+    # comp iterations alternate 4/3 priming steps (`ddpm.py:2388`:
+    # comp_iters_count % 2 - 1 + max_num_comp_priming_denoising_steps)
+    num_priming_steps: int = 4
 
 
 @dataclasses.dataclass
@@ -40,6 +43,8 @@ class IterationPlanner:
     # distill step-count buckets to bound the number of compiled graphs
     # (SURVEY §7 hard part 3: steps ∈ {2,3,4,5})
     unet_distill_steps_range: tuple[int, int] = (2, 4)
+    # max_num_comp_priming_denoising_steps (`ddpm.py:105`)
+    max_priming_steps: int = 4
 
     def __post_init__(self):
         self.non_comp_iters = 0
@@ -57,12 +62,14 @@ class IterationPlanner:
         seed = self.seed_for(epoch, batch_idx)
         rng = np.random.RandomState(seed)
 
+        n_prime = 4
         if (self.comp_distill_iter_gap > 0
                 and global_step % self.comp_distill_iter_gap == 0):
             iter_type = "comp_distill"
             self.comp_iters += 1
             delta_reg = self.do_prompt_emb_delta_reg
             n_steps = 4
+            n_prime = self.comp_iters % 2 - 1 + self.max_priming_steps
         else:
             self.non_comp_iters += 1
             if (self.unet_distill_iter_gap > 0
@@ -86,5 +93,5 @@ class IterationPlanner:
             step=global_step, iter_type=iter_type,
             use_comp_distill_weights=use_comp_w, switch_weights=switch,
             seed=seed, do_prompt_emb_delta_reg=delta_reg,
-            num_denoising_steps=n_steps,
+            num_denoising_steps=n_steps, num_priming_steps=n_prime,
         )

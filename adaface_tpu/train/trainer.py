@@ -164,18 +164,25 @@ class Trainer:
             if "comp_unet" in frozen else None
 
     # -------------------------------------------------------------- steps
-    def _get_step(self, iter_type: str):
-        if iter_type not in self._steps:
-            loss_fn = {
-                "recon": recon_loss_fn,
-                "unet_distill": unet_distill_loss_fn,
-                "comp_distill": (
-                    lambda *a: comp_distill_loss_fn(*a, comp_cfg=self.comp_cfg)),
-            }[iter_type]
-            self._steps[iter_type] = make_train_step(
+    def _get_step(self, iter_type: str, num_priming_steps: int = 4):
+        # comp steps are keyed by the priming step count, which alternates
+        # 4/3 across comp iterations (`ddpm.py:2388`) — two jitted graphs
+        key = (iter_type, num_priming_steps if iter_type == "comp_distill"
+               else 0)
+        if key not in self._steps:
+            if iter_type == "comp_distill":
+                import dataclasses as _dc
+
+                ccfg = _dc.replace(self.comp_cfg,
+                                   num_priming_steps=num_priming_steps)
+                loss_fn = lambda *a: comp_distill_loss_fn(*a, comp_cfg=ccfg)  # noqa: E731
+            else:
+                loss_fn = {"recon": recon_loss_fn,
+                           "unet_distill": unet_distill_loss_fn}[iter_type]
+            self._steps[key] = make_train_step(
                 loss_fn, self.optimizer, self.frozen, self.schedule,
                 self.tcfg, donate=False)
-        return self._steps[iter_type]
+        return self._steps[key]
 
     def _hot_swap_unet(self, to_comp: bool):
         """Swap the frozen UNet between base and comp weight sets
@@ -239,11 +246,27 @@ class Trainer:
                 end_std_range=None, perturb_prob=1.0, keep_norm=True)
             img_prompt_embs = jnp.concatenate([img_prompt_embs[:1], rest], axis=0)
 
-        pb = build_4block_prompt_batch(
-            self.em,
-            batch["subj_single_prompt"], batch["subj_comp_prompt"],
-            batch["cls_single_prompt"], batch["cls_comp_prompt"],
-        )
+        if flags.iter_type == "comp_distill":
+            # 5-block comp plan [ss ‖ sc ‖ sc_rep ‖ cs ‖ cc]; sc_rep
+            # repeats the compositional part (`ddpm.py:1386-1396`)
+            from adaface_tpu.train.prompt_batch import (
+                build_comp_prompt_batch, make_comp_rep_prompts)
+
+            sc_rep = make_comp_rep_prompts(
+                batch["subj_comp_prompt"], batch["prompt_modifier"],
+                batch["compos_partial_prompt"])
+            pb = build_comp_prompt_batch(
+                self.em,
+                batch["subj_single_prompt"], batch["subj_comp_prompt"],
+                sc_rep,
+                batch["cls_single_prompt"], batch["cls_comp_prompt"],
+            )
+        else:
+            pb = build_4block_prompt_batch(
+                self.em,
+                batch["subj_single_prompt"], batch["subj_comp_prompt"],
+                batch["cls_single_prompt"], batch["cls_comp_prompt"],
+            )
         hw = x_start.shape[-1]
         fg = jnp.asarray(batch["fg_mask"])[:, None]
         aug = jnp.asarray(batch["aug_mask"])[:, None]
@@ -257,7 +280,10 @@ class Trainer:
             "prompt_ids": jnp.asarray(pb["prompt_ids"]),
             "splice_map": jnp.asarray(pb["splice_map"]),
             "prompt_emb_mask": jnp.asarray(pb["prompt_emb_mask"]),
-            "prompt_pad_mask": jnp.zeros_like(jnp.asarray(pb["prompt_emb_mask"])),
+            "prompt_pad_mask": jnp.asarray(
+                pb["prompt_pad_mask"]) if "prompt_pad_mask" in pb
+            else jnp.zeros_like(jnp.asarray(pb["prompt_emb_mask"])),
+            "uncond_ids": jnp.asarray(pb["uncond_ids"]),
             "img_mask": resize_nearest(aug, (hw, hw)),
             "fg_mask": resize_nearest(fg, (hw, hw)),
             "face_detected": jnp.ones((b,)),
@@ -268,6 +294,12 @@ class Trainer:
                 np.random.RandomState(flags.seed).dirichlet(
                     self.cfg.clip_skip_weights)
                 if self.cfg.randomize_clip_skip_weights else
+                np.asarray(self.cfg.clip_skip_weights, np.float64)
+                / np.sum(self.cfg.clip_skip_weights), jnp.float32),
+            # fixed (non-randomized) weights: used by the sc_rep encode
+            # (`randomize_clip_weights=False`, `ddpm.py:1422`) and the
+            # uncond context (`ddpm.py:684-687`)
+            "clip_skip_weights_fixed": jnp.asarray(
                 np.asarray(self.cfg.clip_skip_weights, np.float64)
                 / np.sum(self.cfg.clip_skip_weights), jnp.float32),
         }
@@ -383,7 +415,8 @@ class Trainer:
         for step, flags, batch in self._batch_iterator(dataset, num_steps):
             if flags.switch_weights:
                 self._hot_swap_unet(flags.use_comp_distill_weights)
-            step_fn = self._get_step(flags.iter_type)
+            step_fn = self._get_step(flags.iter_type,
+                                     flags.num_priming_steps)
             try:
                 self.state, metrics = step_fn(self.state, batch,
                                               jax.random.PRNGKey(flags.seed))

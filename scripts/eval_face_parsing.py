@@ -33,7 +33,8 @@ def main():
                     help="images/ + labels/ root for mIoU scoring")
     ap.add_argument("--bisenet_ckpt", default=None)
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--batches", type=int, default=50)
+    ap.add_argument("--batches", type=int, default=None,
+                    help="truncate the eval pass (default: full dataset)")
     ap.add_argument("--batch_size", type=int, default=8)
     args = ap.parse_args()
 

@@ -22,14 +22,18 @@ def extract_frames(video_path: str, out_prefix: str, num_frames: int) -> bool:
         return False
     indices = np.linspace(0, max(total - 1, 0), num_frames, dtype=int)
     frames = []
+    failed = []
     for i in indices:
         cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
         ok, frame = cap.read()
         if ok:
             frames.append(frame)
+        else:
+            failed.append(int(i))
     cap.release()
     if len(frames) != num_frames:
-        print(f"Number of frames must be >= {num_frames} (video has {total})")
+        print(f"failed to decode frame(s) at indices {failed} "
+              f"(read {len(frames)}/{num_frames}, video reports {total} total)")
         return False
     for i, frame in enumerate(frames):
         cv2.imwrite(f"{out_prefix}_{i}.png", frame)

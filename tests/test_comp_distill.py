@@ -237,15 +237,47 @@ def test_cross_t_diff_loss():
     assert float(same) < 1e-9
 
 
+def make_comp_batch(b=2, hw=HW):
+    """5-block comp batch [ss ‖ sc ‖ sc_rep ‖ cs ‖ cc] on the tiny stack."""
+    from adaface_tpu.text.embedding_manager import EmbeddingManager, PlaceholderSpec
+    from adaface_tpu.text.tokenizer import CLIPTokenizer
+    from adaface_tpu.train.prompt_batch import (
+        build_comp_prompt_batch, make_comp_rep_prompts)
+
+    tok = CLIPTokenizer.character_fallback()
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", K_ID)])
+    ph = em.expand_placeholder(em.placeholders[0])
+    ss = [f"a photo of {ph}"] * b
+    sc = [f"a photo of {ph} riding a bike"] * b
+    sc_rep = make_comp_rep_prompts(sc, ["cinematic"] * b,
+                                   ["riding a bike"] * b)
+    cs = ["a photo of person"] * b
+    cc = ["a photo of person riding a bike"] * b
+    pb = build_comp_prompt_batch(em, ss, sc, sc_rep, cs, cc)
+
+    key = jax.random.PRNGKey(42)
+    return {
+        "x_start": jax.random.normal(jax.random.fold_in(key, 0), (b, 4, hw, hw)),
+        "noise": jax.random.normal(jax.random.fold_in(key, 1), (b, 4, hw, hw)),
+        "img_prompt_embs": jax.random.normal(jax.random.fold_in(key, 2),
+                                             (b, K_ID, D)),
+        "prompt_ids": jnp.asarray(pb["prompt_ids"]),
+        "splice_map": jnp.asarray(pb["splice_map"]),
+        "prompt_emb_mask": jnp.asarray(pb["prompt_emb_mask"]),
+        "prompt_pad_mask": jnp.asarray(pb["prompt_pad_mask"]),
+        "uncond_ids": jnp.asarray(pb["uncond_ids"]),
+        "fg_mask": jnp.ones((b, 1, hw, hw)).at[:, :, :, hw // 2:].set(0.0),
+        "ss_face_bboxes": jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * b),
+        "sc_face_bboxes": jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * b),
+        "sc_fg_mask_percent": jnp.float32(0.4),
+    }
+
+
 def test_comp_distill_loss_fn_end_to_end():
-    frozen, trainable, batch = _setup(b=2)
+    frozen, trainable, _ = _setup(b=2)
+    batch = make_comp_batch(b=2)
     sched = DiffusionSchedule.create()
     cfg = TrainConfig(unet=UNET_CFG, sbg=SBG_CFG, clip_text=CLIP_CFG)
-    batch = dict(batch)
-    batch["prompt_pad_mask"] = jnp.zeros_like(batch["prompt_emb_mask"])
-    batch["ss_face_bboxes"] = jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * 2)
-    batch["sc_face_bboxes"] = jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * 2)
-    batch["sc_fg_mask_percent"] = jnp.float32(0.4)
     comp_cfg = CompDistillConfig(num_priming_steps=1, num_denoising_steps=2)
 
     (loss, metrics), grads = jax.value_and_grad(
@@ -258,3 +290,50 @@ def test_comp_distill_loss_fn_end_to_end():
     for k in ("loss_comp_fg_bg_preserve", "loss_rep_distill",
               "loss_cross_t_diff"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_comp_distill_per_block_grad_gating():
+    """Only the SC block's captured activations carry gradients back to
+    the ada path (the reference's sliced enable_grad calls,
+    `guided_denoise`, `ddpm.py:1630-1712`)."""
+    frozen, trainable, _ = _setup(b=1)
+    batch = make_comp_batch(b=1)
+    sched = DiffusionSchedule.create()
+    cfg = TrainConfig(unet=UNET_CFG, sbg=SBG_CFG, clip_text=CLIP_CFG)
+    comp_cfg = CompDistillConfig(num_priming_steps=1, num_denoising_steps=1)
+    from adaface_tpu.train.comp_step import (
+        comp_distill_denoise, encode_comp_prompts, sample_comp_rand)
+    from adaface_tpu.train.train_step import compute_ada_embs
+
+    def per_block_sums(trainable):
+        ada = compute_ada_embs(trainable, frozen,
+                               batch["img_prompt_embs"][:1], cfg)
+        ctx = encode_comp_prompts(frozen, ada, batch, cfg)
+        r = comp_cfg.cls_subj_mix_ratio
+        cc_mix = ctx["sc"] * (1 - r) + ctx["cc"] * r
+        ctx4 = jnp.concatenate([ctx["ss"], ctx["sc"], ctx["sr"], cc_mix], 0)
+        rand = sample_comp_rand(jax.random.PRNGKey(3), batch["noise"],
+                                sched, comp_cfg)
+        splice4 = jnp.concatenate([batch["splice_map"][:3],
+                                   batch["splice_map"][4:5]], 0)
+        subj_mask4 = (splice4 >= 0).astype(jnp.float32)
+        x4 = jnp.tile(batch["noise"], (4, 1, 1, 1))
+        caps, recons, _ = comp_distill_denoise(
+            frozen["unet"], cfg.unet, sched, x4, ctx4, ctx["uncond"],
+            subj_mask4, rand, cfg=comp_cfg)
+        out = caps[-1]["attn_out"][24]
+        ss, sc, sr, mc = jnp.split(out, 4, axis=0)
+        return {"ss": (ss ** 2).sum(), "sc": (sc ** 2).sum(),
+                "sr": (sr ** 2).sum(), "mc": (mc ** 2).sum()}
+
+    grads = {k: jax.grad(lambda tr, k=k: per_block_sums(tr)[k])(trainable)
+             for k in ("ss", "sc", "sr", "mc")}
+
+    def gsum(g):
+        return sum(float(jnp.abs(x).sum())
+                   for x in jax.tree_util.tree_leaves(g))
+
+    assert gsum(grads["sc"]) > 0
+    assert gsum(grads["ss"]) == 0
+    assert gsum(grads["sr"]) == 0
+    assert gsum(grads["mc"]) == 0
