@@ -20,3 +20,61 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# ---------------------------------------------------------------------------
+# Speed split: `pytest -m fast` is the <2-min regression subset; the full
+# suite stays the merge gate. Modules doing multi-step training/denoising
+# or reference-oracle golden runs are marked slow; everything else fast.
+# ---------------------------------------------------------------------------
+
+SLOW_MODULES = {
+    "test_train",
+    "test_trainer",
+    "test_comp_distill",
+    "test_recon_multistep",
+    "test_joint_train",
+    "test_golden_comp",
+    "test_golden_unet",
+    "test_golden_sbg",
+    "test_golden_id2ada",
+    "test_golden_models",
+    "test_golden_reference",
+    "test_golden_optimizers",
+    "test_golden_vae_schedule",
+    "test_golden_losses",
+    "test_inference",
+    "test_serving",
+    "test_motion",
+    "test_bisenet_gma",
+    "test_face_parsing_train",
+    "test_attention",
+    "test_attention_bwd",
+    "test_attention_vmem",
+    "test_deepcache",
+    "test_checkpoint",
+    "test_unet",
+    "test_id2ada",
+    "test_clip",
+    "test_face_losses",
+    "test_retinaface",
+    "test_vae",
+    "test_quant",
+    "test_ckpt_lib",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "fast: quick regression subset")
+    config.addinivalue_line("markers", "slow: heavy training/golden tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
