@@ -382,11 +382,19 @@ class ConsistentIDID2AdaPrompt(FaceID2AdaPrompt):
     gen_neg_img_prompt = True
     clip_embedding_dim = 1280
 
-    def __init__(self, rng, image_proj_params: Params | None = None, **kw):
+    def __init__(self, rng, image_proj_params: Params | None = None,
+                 image_proj_path: str | None = None, **kw):
         kw.setdefault("clip_vision_cfg", clip_mod.CLIP_H_VISION)
         super().__init__(rng, **kw)
         if self.out_id_embs_cfg_scale == -1:
             self.out_id_embs_cfg_scale = 6.0
+        if image_proj_params is None and image_proj_path is not None:
+            # trained ConsistentID-v1.bin image_proj weights
+            # (`face_id_to_ada_prompt.py:747-749`)
+            from adaface_tpu.tools.convert_consistentid import (
+                load_consistentid_proj)
+
+            image_proj_params = load_consistentid_proj(image_proj_path)
         k = jax.random.fold_in(rng, 11)
         self.image_proj_params = image_proj_params or L.init_proj_plus(
             k, id_dim=512, clip_dim=self.clip_embedding_dim,

@@ -163,31 +163,78 @@ def apply_learned_soft_aggregate(p, x, group_dim=1, keepdim=False):
 # -- ConsistentID ProjPlusModel equivalent ----------------------------------
 
 
-def init_proj_plus(rng, id_dim=512, clip_dim=1280, out_dim=768, num_tokens=4):
-    ks = iter(jax.random.split(rng, 6))
+def _init_perceiver_ff(rng, dim, mult=4):
+    """LayerNorm → Linear(dim→dim·mult, no bias) → GELU → Linear(no bias),
+    the IP-Adapter resampler FeedForward used by ConsistentID."""
+    ks = iter(jax.random.split(rng, 2))
+    return {
+        "ln": _ln_params(dim),
+        "fc1": _dense(next(ks), dim, dim * mult, bias=False),
+        "fc2": _dense(next(ks), dim * mult, dim, bias=False),
+    }
+
+
+def _apply_perceiver_ff(p, x):
+    # torch nn.GELU() is the exact erf form
+    return _apply_dense(
+        p["fc2"], jax.nn.gelu(_apply_dense(p["fc1"], _apply_ln(p["ln"], x)),
+                              approximate=False))
+
+
+def init_proj_plus(rng, id_dim=512, clip_dim=1280, out_dim=768, num_tokens=4,
+                   depth=4, dim_head=64, ff_mult=4):
+    """ConsistentID `ProjPlusModel` (IP-Adapter FaceID-Plus layout, loaded
+    by `face_id_to_ada_prompt.py:747-749` from ConsistentID-v1.bin):
+    id-MLP → [B, num_tokens, out_dim] latents → FacePerceiverResampler
+    (proj_in over CLIP features, depth× (PerceiverAttention+FF) residual
+    blocks, proj_out, norm_out). Real checkpoints use out_dim=768,
+    dim_head=64 → 12 heads; tiny test configs shrink dim_head to fit."""
+    dim_head = min(dim_head, out_dim)
+    heads = out_dim // dim_head
+    ks = iter(jax.random.split(rng, 6 + 2 * depth))
     return {
         "proj": {
             "fc1": _dense(next(ks), id_dim, id_dim * 2),
             "fc2": _dense(next(ks), id_dim * 2, out_dim * num_tokens),
         },
         "norm": _ln_params(out_dim),
-        "clip_proj": _dense(next(ks), clip_dim, out_dim, bias=False),
-        "xattn": init_cross_attention(next(ks), out_dim, num_heads=8,
-                                      identity_to_out=False),
+        "resampler": {
+            "proj_in": _dense(next(ks), clip_dim, out_dim),
+            "proj_out": _dense(next(ks), out_dim, out_dim),
+            "norm_out": _ln_params(out_dim),
+            "layers": [
+                {"attn": init_perceiver_attention(next(ks), out_dim,
+                                                  dim_head=dim_head,
+                                                  num_heads=heads),
+                 "ff": _init_perceiver_ff(next(ks), out_dim, mult=ff_mult)}
+                for _ in range(depth)
+            ],
+        },
     }
 
 
-def apply_proj_plus(p, faceid_embs, clip_image_embeds, shortcut=False, scale=1.0):
+def apply_proj_plus(p, faceid_embs, clip_image_embeds, shortcut=False,
+                    scale=1.0, dim_head=64):
     """faceid [B,512] + CLIP features [B,257,Dclip] → [B,4,768] global id
     embeddings (ConsistentID `image_proj_model` call convention,
     `face_id_to_ada_prompt.py:855-863`)."""
     b = faceid_embs.shape[0]
     out_dim = p["norm"]["scale"].shape[0]
+    dim_head = min(dim_head, out_dim)
+    heads = out_dim // dim_head
     h = _apply_dense(p["proj"]["fc2"],
-                     jax.nn.gelu(_apply_dense(p["proj"]["fc1"], faceid_embs)))
+                     jax.nn.gelu(_apply_dense(p["proj"]["fc1"], faceid_embs),
+                                 approximate=False))
     tokens = _apply_ln(p["norm"], h.reshape(b, -1, out_dim))
-    ctx = _apply_dense(p["clip_proj"], clip_image_embeds)
-    attended = apply_cross_attention(p["xattn"], tokens, ctx, num_heads=8)
+    r = p["resampler"]
+    x = _apply_dense(r["proj_in"], clip_image_embeds)
+    latents = tokens
+    for lyr in r["layers"]:
+        latents = apply_perceiver_attention(
+            lyr["attn"], x, latents, num_heads=heads,
+            dim_head=dim_head) + latents
+        latents = _apply_perceiver_ff(lyr["ff"], latents) + latents
+    out = _apply_ln(r["norm_out"], _apply_dense(r["proj_out"], latents))
     if shortcut:
-        return tokens + scale * attended
-    return attended
+        return tokens + scale * out
+    return out
