@@ -7,8 +7,13 @@ step, loss finiteness + decreasing recon trend, on the chosen platform.
 """
 
 import json
+import os as _os
 import sys
 import tempfile
+
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
+sys.path.insert(0, _os.path.join(_repo, "tests"))
 
 import jax
 
@@ -30,7 +35,6 @@ from adaface_tpu.train.comp_step import CompDistillConfig
 from adaface_tpu.train.train_step import TrainConfig
 from adaface_tpu.train.trainer import Trainer, TrainerConfig
 
-sys.path.insert(0, "tests")
 from test_id2ada import SMALL_CLIP, SMALL_VISION, D  # noqa: E402
 from test_train import UNET_CFG  # noqa: E402
 

@@ -62,6 +62,30 @@ def test_parse_subject_file(tmp_path):
     assert attr["cls_delta_strings"] == {"alice": "woman", "bob": "man"}
 
 
+def test_bundled_reference_fixtures(tmp_path):
+    """The bundled 22-subject celebrity fixture set resolves end-to-end
+    through the orchestrator's --list_only smoke path: the real
+    info-subjects-celebrity.sh parses, every subject folder exists with
+    images, and a scores-CSV skeleton is written."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.path.isdir("/root/reference/subjects-celebrity"):
+        pytest.skip("reference fixtures not present")
+    csv_path = tmp_path / "scores.csv"
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "gen_prompts_and_eval.py")
+    out = subprocess.run(
+        [sys.executable, script, "--list_only",
+         "--scores_csv", str(csv_path)],
+        capture_output=True, text=True, check=True)
+    assert "22 subjects resolved" in out.stdout
+    assert csv_path.exists()
+    header = csv_path.read_text().splitlines()[0]
+    assert header.startswith("subject,")
+
+
 @pytest.fixture(scope="module")
 def clip_eval():
     return CLIPEvaluator(text_cfg=TINY_TEXT, vision_cfg=TINY_VISION,
