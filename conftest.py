@@ -35,6 +35,7 @@ SLOW_MODULES = {
     "test_recon_multistep",
     "test_joint_train",
     "test_golden_comp",
+    "test_golden_pipeline",
     "test_golden_unet",
     "test_golden_sbg",
     "test_golden_id2ada",
