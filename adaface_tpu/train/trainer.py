@@ -74,6 +74,8 @@ class TrainerConfig:
     randomize_clip_skip_weights: bool = True
     dp: int | None = None
     profile: bool = False
+    # mirror metrics to Weights & Biases when installed (`main.py:275,826`)
+    use_wandb: bool = False
     # unet-distill iteration randomization (`ddpm.py:1131-1263`):
     # p_gen_rand_id_for_id2img — distill on a randomly drawn identity
     # instead of the batch faces; p_perturb_face_id_embs — repeat the first
@@ -146,7 +148,8 @@ class Trainer:
         # reference's rank_zero_only / rank-prefixed logging)
         is_rank0 = jax.process_index() == 0
         self.logger = MetricsLogger(cfg.log_dir, echo=is_rank0,
-                                    write=is_rank0)
+                                    write=is_rank0,
+                                    use_wandb=cfg.use_wandb)
         self.face_stats = RollingStats(("face_detected",))
         self.profiler = (ProfilerHook(cfg.log_dir)
                          if cfg.profile and is_rank0 else None)

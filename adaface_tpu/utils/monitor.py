@@ -41,20 +41,40 @@ class RollingStats:
 
 
 class MetricsLogger:
-    """CSV metrics logger with console echo."""
+    """CSV metrics logger with console echo.
+
+    `use_wandb=True` mirrors every row to Weights & Biases when the
+    package is importable (the reference's `--use_wandb` default,
+    `main.py:275-276,807-833`); absent wandb it degrades to CSV-only with
+    a one-line notice, so headless/TPU-pod runs never hard-depend on it."""
 
     def __init__(self, log_dir: str, filename: str = "metrics.csv",
-                 echo_every: int = 50, echo: bool = True, write: bool = True):
+                 echo_every: int = 50, echo: bool = True, write: bool = True,
+                 use_wandb: bool = False, wandb_project: str = "adaface-tpu",
+                 wandb_run_name: str | None = None):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
         self.echo_every = echo_every if echo else 0
         self.write = write  # False on non-zero hosts (rank-0-only logging)
         self._fieldnames: list[str] | None = None
         self._t0 = time.time()
+        self._wandb = None
+        if use_wandb and write:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_project, name=wandb_run_name,
+                    dir=log_dir, config={})
+            except Exception as e:  # pragma: no cover - env-dependent
+                print(f"wandb unavailable ({e!r}); CSV-only logging")
 
     def log_dict(self, step: int, metrics: dict):
         if not self.write:
             return
+        if self._wandb is not None:
+            self._wandb.log({k: float(v) for k, v in metrics.items()},
+                            step=step)
         row = {"step": step, "wall_time": round(time.time() - self._t0, 2)}
         row.update({k: float(v) for k, v in metrics.items()})
         write_header = self._fieldnames is None or not os.path.exists(self.path)
