@@ -62,6 +62,7 @@ def main():
         )
 
     # warm-up: compile + relay warm-up (discard)
+    t_start = time.perf_counter()
     img = run(0)
     _ = np.asarray(img[:1, :1, :1, :1])
 
@@ -75,10 +76,15 @@ def main():
     imgs_per_sec = batch / dt
 
     # p50 single-request e2e latency (bs=1, compile excluded) — the second
-    # metric of the BASELINE.json triple. Guarded: if the second compile
-    # fails through the relay, the headline line still prints.
+    # metric of the BASELINE.json triple. Guarded two ways so the headline
+    # line always prints inside the driver's window: skipped when the
+    # throughput phase already ate the time budget (the bs=1 pipeline is a
+    # second full compile through the relay), and wrapped against errors.
     p50_ms = None
-    if os.environ.get("ADAFACE_BENCH_P50", "1") == "1":
+    budget_s = float(os.environ.get("ADAFACE_BENCH_BUDGET_S", "1500"))
+    if time.perf_counter() - t_start > budget_s:
+        print(f"# skipping p50: throughput phase exceeded {budget_s:.0f}s budget")
+    elif os.environ.get("ADAFACE_BENCH_P50", "1") == "1":
         try:
             def run1(seed):
                 return pipe(

@@ -120,7 +120,15 @@ def stub_reference_ddpm_deps():
     _specced("retinaface.pre_trained_models", get_model=lambda *a, **k: None)
     if "easydict" not in sys.modules:
         class EasyDict(dict):
-            __getattr__ = dict.__getitem__
+            # must raise AttributeError (not KeyError) so hasattr() works —
+            # the reference GMA probes `hasattr(config, 'corr_levels')`
+            # (`/root/reference/gma/network.py:25`)
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
             __setattr__ = dict.__setitem__
 
         _specced("easydict", EasyDict=EasyDict)
