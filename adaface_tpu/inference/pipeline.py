@@ -107,7 +107,8 @@ class DiffusionPipeline:
         return cond, uncond
 
     # ------------------------------------------------------------ sampling
-    def _unet_eps(self, unet_params, x, t, ctx, attn_lora=None, ffn_lora=None):
+    def _unet_eps(self, unet_params, x, t, ctx, attn_lora=None, ffn_lora=None,
+                  tome=None):
         cfg = self.m.unet_cfg
         from adaface_tpu.models.unet import AttnRuntime
 
@@ -116,7 +117,7 @@ class DiffusionPipeline:
             use_ffn_lora=ffn_lora is not None,
             ffn_adapter=self.m.ffn_adapter if ffn_lora is not None else None,
         )
-        kw = dict(rt=rt, attn_lora=attn_lora, ffn_lora=ffn_lora)
+        kw = dict(rt=rt, attn_lora=attn_lora, ffn_lora=ffn_lora, tome=tome)
         if isinstance(unet_params, (list, tuple)):
             w = self.m.unet_weights or [1.0 / len(unet_params)] * len(unet_params)
             w = jnp.asarray(w) / jnp.asarray(w).sum()
@@ -127,13 +128,15 @@ class DiffusionPipeline:
         return eps
 
     def _build_generate(self, ddim_cfg: DDIMConfig,
-                        deepcache_interval: int = 0):
+                        deepcache_interval: int = 0,
+                        tome=None):
         schedule = self.m.schedule
         cfg = self.m.unet_cfg
 
         @jax.jit
         def generate(unet_params, loras, cond, uncond, x_T, rng):
-            kw = dict(attn_lora=loras.get("attn"), ffn_lora=loras.get("ffn"))
+            kw = dict(attn_lora=loras.get("attn"), ffn_lora=loras.get("ffn"),
+                      tome=tome)
 
             def model_fn(x, t, ctx):
                 return self._unet_eps(unet_params, x, t, ctx, **kw)
@@ -194,6 +197,9 @@ class DiffusionPipeline:
         # >1: full UNet every Nth step only; measured on v5e @ bench config:
         # 1.39x (3) / 1.54x (5) at latent corr 0.99999 vs the full loop
         deepcache_interval: int = 0,
+        # >0: ToMe token merging (ops/tome.py) — merge this fraction of
+        # level-0 spatial tokens around self-attn + FFN each step
+        tome_ratio: float = 0.0,
     ):
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -216,6 +222,12 @@ class DiffusionPipeline:
         if self.m.ffn_lora is not None:
             loras["ffn"] = self.m.ffn_lora
 
+        tome = None
+        if tome_ratio > 0.0:
+            from adaface_tpu.ops.tome import ToMeConfig
+
+            tome = ToMeConfig(ratio=tome_ratio)
+
         if scheduler == "ddim":
             ddim_cfg = DDIMConfig(
                 num_inference_steps=num_inference_steps,
@@ -223,10 +235,11 @@ class DiffusionPipeline:
                 guidance_scale_min=guidance_scale_min,
             )
             key = (num_inference_steps, guidance_scale, guidance_scale_min,
-                   deepcache_interval)
+                   deepcache_interval, tome_ratio)
             if self._generate is None or self._gen_key != key:
                 self._generate = self._build_generate(
-                    ddim_cfg, deepcache_interval=deepcache_interval)
+                    ddim_cfg, deepcache_interval=deepcache_interval,
+                    tome=tome)
                 self._gen_key = key
             z0 = self._generate(self.m.unet, loras, cond, uncond, latents,
                                 k_samp)
@@ -237,7 +250,8 @@ class DiffusionPipeline:
             def model_fn(x, t, ctx):
                 return self._unet_eps(self.m.unet, x, t, ctx,
                                       attn_lora=loras.get("attn"),
-                                      ffn_lora=loras.get("ffn"))
+                                      ffn_lora=loras.get("ffn"),
+                                      tome=tome)
 
             if scheduler == "dpm++":
                 z0 = dpm_solver_pp_sample(

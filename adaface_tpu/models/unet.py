@@ -544,7 +544,7 @@ def _cross_attention(
 
 def _transformer2d(
     p, x, context, cfg: UNetConfig, rt: AttnRuntime, kv_mask, img_mask_flat,
-    lora, subj_mask, want_capture, lora_gate=None,
+    lora, subj_mask, want_capture, lora_gate=None, tome=None,
 ):
     b, h, w, c = x.shape
     residual = x
@@ -552,25 +552,48 @@ def _transformer2d(
     y = conv2d(p["proj_in"], y, padding=0)
     y = y.reshape(b, h * w, c)
 
+    # ToMe (ops/tome.py): merge redundant spatial tokens around each op,
+    # ToMe-SD style (merge recomputed from this block's input tokens).
+    # Disabled under img_mask (key-validity would need per-merged-token
+    # bookkeeping) and for the capture/attn-augmentation slow paths whose
+    # tensors must stay at full resolution.
+    merge = unmerge = lambda t: t
+    tome_on = (
+        tome is not None and tome.ratio > 0.0 and h * w >= tome.min_tokens
+        and img_mask_flat is None)
+    if tome_on:
+        from adaface_tpu.ops.tome import build_merge
+
+        merge, unmerge, _ = build_merge(
+            y, h, w, int(h * w * tome.ratio), tome.sx, tome.sy)
+
     bp = p["block"]
     lora_scale = cfg.lora_alpha / cfg.lora_rank
     # self-attention (img_mask drops masked keys, `:254-273`)
     a1, _ = _cross_attention(
-        bp["attn1"], layer_norm(bp["norm1"], y), None, cfg.num_heads,
+        bp["attn1"], merge(layer_norm(bp["norm1"], y)), None, cfg.num_heads,
         rt, img_mask_flat, None, None, lora_scale, want_capture=False,
     )
-    y = y + a1
+    y = y + unmerge(a1)
+    merge_ca = (tome_on and tome.merge_crossattn and not want_capture
+                and not rt.normalize_cross_attn
+                and not rt.mix_attn_mats_in_batch)
+    ca_in = layer_norm(bp["norm2"], y)
     a2, captured = _cross_attention(
-        bp["attn2"], layer_norm(bp["norm2"], y), context, cfg.num_heads,
+        bp["attn2"], merge(ca_in) if merge_ca else ca_in, context,
+        cfg.num_heads,
         rt, kv_mask, lora, subj_mask, lora_scale, want_capture=want_capture,
         lora_gate=lora_gate,
     )
-    y = y + a2
+    y = y + (unmerge(a2) if merge_ca else a2)
     # GEGLU feed-forward
     ff_in = layer_norm(bp["norm3"], y)
+    if tome_on and tome.merge_mlp:
+        ff_in = merge(ff_in)
     proj = dense(bp["ff"]["proj_in"], ff_in)
     val, gate = jnp.split(proj, 2, axis=-1)
-    y = y + dense(bp["ff"]["proj_out"], val * jax.nn.gelu(gate))
+    ff_out = dense(bp["ff"]["proj_out"], val * jax.nn.gelu(gate))
+    y = y + (unmerge(ff_out) if (tome_on and tome.merge_mlp) else ff_out)
 
     y = y.reshape(b, h, w, c)
     y = conv2d(p["proj_out"], y, padding=0)
@@ -603,6 +626,7 @@ def unet_apply(
     deepcache: str | tuple | None = None,  # None | "collect" | ("shallow", feat)
     attn_lora_gate: jax.Array | None = None,  # [B] per-example attn-LoRA gate
     ffn_lora_gate: jax.Array | None = None,  # [B] per-example ffn-LoRA gate
+    tome=None,  # ToMeConfig (ops/tome.py) token-merging acceleration
 ):
     """Returns (eps [B,4,64,64], captured dict).
 
@@ -664,7 +688,7 @@ def unet_apply(
             if cfg.down_has_attn[bi]:
                 h, _ = _transformer2d(
                     blk["attentions"][li], h, context, cfg, rt, kv_mask, im,
-                    None, subj_mask, want_capture=False)
+                    None, subj_mask, want_capture=False, tome=tome)
             if motion is not None:
                 h = temporal(motion["down"][bi][li], h)
             skips.append(h)
@@ -677,7 +701,7 @@ def unet_apply(
         h = _resnet(params["mid"]["resnet1"], h, temb, cfg)
         h, _ = _transformer2d(params["mid"]["attention"], h, context, cfg,
                               rt, kv_mask, im, None, subj_mask,
-                              want_capture=False)
+                              want_capture=False, tome=tome)
         if motion is not None:
             h = temporal(motion["mid"], h)
         h = _resnet(params["mid"]["resnet2"], h, temb, cfg)
@@ -714,7 +738,7 @@ def unet_apply(
                 h, cap = _transformer2d(
                     blk["attentions"][li], h, context, cfg, rt, kv_mask, im,
                     layer_lora, subj_mask, want_capture=want_cap,
-                    lora_gate=attn_lora_gate)
+                    lora_gate=attn_lora_gate, tome=tome)
                 if want_cap:
                     label = CAPTURE_LAYER_BASE + li
                     for k, val in (cap or {}).items():

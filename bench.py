@@ -50,6 +50,9 @@ def main():
     # every Nth step; measured 1.39x @3 / 1.54x @5, corr 0.99999); default
     # 0 so the headline reflects the full-computation loop
     dc = int(os.environ.get("ADAFACE_BENCH_DEEPCACHE", "0"))
+    # ADAFACE_BENCH_TOME=R (0<R<1) enables ToMe token merging (ops/tome.py);
+    # default 0 so the headline reflects the full-resolution loop
+    tome = float(os.environ.get("ADAFACE_BENCH_TOME", "0"))
 
     def run(seed):
         return pipe(
@@ -59,6 +62,7 @@ def main():
             guidance_scale=6.0,
             rng=jax.random.PRNGKey(seed),
             deepcache_interval=dc,
+            tome_ratio=tome,
         )
 
     # warm-up: compile + relay warm-up (discard)
@@ -90,7 +94,8 @@ def main():
                 return pipe(
                     [prompt], negative_prompt="lowres, low quality",
                     num_inference_steps=steps, guidance_scale=6.0,
-                    rng=jax.random.PRNGKey(seed), deepcache_interval=dc)
+                    rng=jax.random.PRNGKey(seed), deepcache_interval=dc,
+                    tome_ratio=tome)
 
             img = run1(0)  # compile (discard)
             _ = np.asarray(img[:1, :1, :1, :1])
