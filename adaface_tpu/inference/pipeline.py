@@ -198,8 +198,11 @@ class DiffusionPipeline:
         # 1.39x (3) / 1.54x (5) at latent corr 0.99999 vs the full loop
         deepcache_interval: int = 0,
         # >0: ToMe token merging (ops/tome.py) — merge this fraction of
-        # level-0 spatial tokens around self-attn + FFN each step
+        # level-0 spatial tokens around self-attn each step
         tome_ratio: float = 0.0,
+        # full ToMe knob set (min_tokens/sx/sy/merge_mlp/rand_seed);
+        # overrides tome_ratio when given
+        tome: "ToMeConfig | None" = None,
     ):
         if isinstance(prompts, str):
             prompts = [prompts]
@@ -222,8 +225,7 @@ class DiffusionPipeline:
         if self.m.ffn_lora is not None:
             loras["ffn"] = self.m.ffn_lora
 
-        tome = None
-        if tome_ratio > 0.0:
+        if tome is None and tome_ratio > 0.0:
             from adaface_tpu.ops.tome import ToMeConfig
 
             tome = ToMeConfig(ratio=tome_ratio)
@@ -234,8 +236,10 @@ class DiffusionPipeline:
                 guidance_scale=guidance_scale,
                 guidance_scale_min=guidance_scale_min,
             )
+            # ToMeConfig is frozen/hashable — key on the whole config so
+            # changing any knob (not just ratio) rebuilds the jitted loop
             key = (num_inference_steps, guidance_scale, guidance_scale_min,
-                   deepcache_interval, tome_ratio)
+                   deepcache_interval, tome)
             if self._generate is None or self._gen_key != key:
                 self._generate = self._build_generate(
                     ddim_cfg, deepcache_interval=deepcache_interval,

@@ -565,7 +565,8 @@ def _transformer2d(
         from adaface_tpu.ops.tome import build_merge
 
         merge, unmerge, _ = build_merge(
-            y, h, w, int(h * w * tome.ratio), tome.sx, tome.sy)
+            y, h, w, int(h * w * tome.ratio), tome.sx, tome.sy,
+            tome.rand_seed)
 
     bp = p["block"]
     lora_scale = cfg.lora_alpha / cfg.lora_rank

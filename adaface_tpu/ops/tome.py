@@ -38,33 +38,56 @@ class ToMeConfig:
     min_tokens: apply only in blocks with at least this many spatial
     tokens (4096 = SD1.5 level 0 only; 1024 adds level 1).
     merge_crossattn / merge_mlp: also run cross-attn queries / the GEGLU
-    FFN on the merged token set (ToMe-SD defaults them off; the FFN merge
-    is cheap extra speed at slightly more drift)."""
+    FFN on the merged token set (both default off to match ToMe-SD; the
+    FFN merge is cheap extra speed at slightly more drift).
+    rand_seed: seeds the per-cell pseudo-random dst choice (ToMe-SD
+    use_rand=True; the paper reports a fixed top-left grid causes visible
+    regular artifacts at ratio 0.5). Offsets are static per (h, w, sx,
+    sy, seed) so all shapes stay compile-time constant; None restores the
+    deterministic top-left grid."""
 
     ratio: float = 0.5
     min_tokens: int = 4096
     sx: int = 2
     sy: int = 2
     merge_crossattn: bool = False
-    merge_mlp: bool = True
+    merge_mlp: bool = False
+    rand_seed: int | None = 0
 
 
 @functools.lru_cache(maxsize=None)
-def _partition(h: int, w: int, sx: int, sy: int):
+def _partition(h: int, w: int, sx: int, sy: int, rand_seed: int | None = 0):
     """Static dst/src token split on the row-major (h, w) grid plus the
-    inverse permutation mapping concat([dst, src]) back to token order."""
+    inverse permutation mapping concat([dst, src]) back to token order.
+    One dst token per sx×sy cell, at a seeded pseudo-random in-cell
+    offset (rand_seed=None → top-left)."""
     hh, ww = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    is_dst = ((hh % sy == 0) & (ww % sx == 0)).reshape(-1)
+    if rand_seed is None:
+        is_dst = ((hh % sy == 0) & (ww % sx == 0)).reshape(-1)
+    else:
+        rs = np.random.RandomState(rand_seed)
+        n_cy = (h + sy - 1) // sy
+        n_cx = (w + sx - 1) // sx
+        dy = rs.randint(0, sy, size=(n_cy, n_cx))
+        dx = rs.randint(0, sx, size=(n_cy, n_cx))
+        cy, cx = hh // sy, ww // sx
+        # clip in-cell offsets at the ragged right/bottom edges
+        ty = np.minimum(cy * sy + dy[cy, cx], h - 1)
+        tx = np.minimum(cx * sx + dx[cy, cx], w - 1)
+        is_dst = ((hh == ty) & (ww == tx)).reshape(-1)
     dst_idx = np.nonzero(is_dst)[0]
     src_idx = np.nonzero(~is_dst)[0]
     inv = np.empty(h * w, np.int32)
     inv[dst_idx] = np.arange(len(dst_idx))
     inv[src_idx] = len(dst_idx) + np.arange(len(src_idx))
-    return (jnp.asarray(dst_idx), jnp.asarray(src_idx), jnp.asarray(inv))
+    # NOTE: cache NUMPY arrays — jnp.asarray inside a trace yields
+    # constant tracers, and caching those leaks them into later traces
+    # (UnexpectedTracerError on the second compile; caught on-chip)
+    return (dst_idx.astype(np.int32), src_idx.astype(np.int32), inv)
 
 
 def build_merge(x: jax.Array, h: int, w: int, r: int, sx: int = 2,
-                sy: int = 2):
+                sy: int = 2, rand_seed: int | None = 0):
     """→ (merge, unmerge, n_merged): token-set reducer/expander pair.
 
     x [B, N, C] (N = h·w) provides the cosine-similarity metric; merge /
@@ -75,7 +98,7 @@ def build_merge(x: jax.Array, h: int, w: int, r: int, sx: int = 2,
     """
     b, n, _ = x.shape
     assert n == h * w, (n, h, w)
-    dst_idx, src_idx, inv = _partition(h, w, sx, sy)
+    dst_idx, src_idx, inv = _partition(h, w, sx, sy, rand_seed)
     n_dst = dst_idx.shape[0]
     n_src = src_idx.shape[0]
     r = max(0, min(int(r), n_src))

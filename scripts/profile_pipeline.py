@@ -89,12 +89,15 @@ def main():
                     rng=jax.random.PRNGKey(seed), return_latents=True)
 
     t_loop, z0 = timeit(loop, 1, n=2)
+    # pipe() re-encodes the prompt internally; take it out of the loop
+    # timing so the stage shares don't double-count text encode
+    t_loop = max(t_loop - 2 * t_text, 0.0)  # cond + uncond encodes
 
     # --- VAE decode ---
     dec = jax.jit(lambda p, z: vae_decode(p, z, modules.vae_cfg))
     t_dec, _ = timeit(dec, modules.vae, z0)
 
-    total = t_loop + t_dec + t_text
+    total = t_loop + t_dec + 2 * t_text
     print(f"batch={batch}")
     print(f"text encode       : {t_text*1e3:9.1f} ms ({t_text/total:5.1%})")
     print(f"1 UNet call (B{b2}) : {t_unet*1e3:9.1f} ms"
