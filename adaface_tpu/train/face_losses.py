@@ -164,6 +164,27 @@ def calc_arcface_align_loss(
     return loss_align, loss_fg_suppress, loss_bg
 
 
+def calc_bg_faces_suppress_loss(
+    arcface_params,
+    images: jax.Array,  # [B, 3, H, W] generated (grads flow)
+    bg_bboxes: jax.Array,  # [B, Nbg, 4] pixel coords
+    bg_valid: jax.Array,  # [B, Nbg] ∈ {0, 1}
+) -> tuple[jax.Array, jax.Array]:
+    """Mean-L2 suppression of background-face embeddings with a STATIC
+    max-faces shape (`arcface_wrapper.calc_arcface_align_loss` embeds the
+    dynamic list of non-largest detected faces; here invalid slots are
+    masked out). → (loss, any_valid ∈ {0,1})."""
+    b, nbg = bg_valid.shape
+    imgs_rep = jnp.repeat(images, nbg, axis=0)  # [B*Nbg, 3, H, W]
+    boxes = bg_bboxes.reshape(b * nbg, 4)
+    emb, _ = embed_face_crops(arcface_params, imgs_rep, boxes, (-1.0, -1.0))
+    per_face = (emb.astype(jnp.float32) ** 2).mean(-1)  # [B*Nbg]
+    v = bg_valid.reshape(-1).astype(jnp.float32)
+    any_valid = (v.sum() > 0).astype(jnp.float32)
+    loss = (per_face * v).sum() / (v.sum() + 1e-6)
+    return loss * any_valid, any_valid
+
+
 # ---------------------------------------------------------------------------
 # host-side detection
 # ---------------------------------------------------------------------------

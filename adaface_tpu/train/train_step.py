@@ -102,9 +102,16 @@ def _encode_prompts_with_ada(
     ada_embs: jax.Array,  # [B, K, D]
     batch: Params,
     cfg: TrainConfig,
+    return_extras: bool = False,
 ):
     """Embed the 4-block prompts (ss/sc/cs/cc), splicing ada embeddings into
-    the subject blocks (`get_text_conditioning`, `ddpm.py:739-853`)."""
+    the subject blocks (`get_text_conditioning`, `ddpm.py:739-853`).
+
+    With return_extras, also returns {"cs_raw", "cc_raw", "uncond"} — the
+    UNDISTRIBUTED class contexts (the reference keeps both:
+    `extra_info['cls_single_emb']` at `ddpm.py:1545` is pre-distribution
+    and conditions the recon cls denoise, while the `_dist` versions at
+    `ddpm.py:1464-1472` feed the prompt-delta loss)."""
     ids = batch["prompt_ids"]  # [4B, S]
     splice_map = batch["splice_map"]  # [4B, S] (−1 on cls rows)
     table = frozen["text_encoder"]["token_embedding"]
@@ -135,6 +142,7 @@ def _encode_prompts_with_ada(
         skip_weights=skip_w,
     )
     ctx = out["last_hidden_state"]
+    extras = {}
     if batch.get("uncond_ids") is not None:
         # distribute the merged class embedding over the M subject-token
         # positions of the cls blocks, with compel-style embedding CFG and
@@ -151,9 +159,12 @@ def _encode_prompts_with_ada(
         # block's placeholder indices (`placeholder2indices_1b`)
         ss_map, _, _, _ = jnp.split(splice_map, 4, axis=0)
         ss, sc, cs, cc = jnp.split(ctx, 4, axis=0)
+        extras = {"cs_raw": cs, "cc_raw": cc, "uncond": uncond}
         cs = distribute_embedding_to_M_tokens(cs, ss_map, uncond)
         cc = distribute_embedding_to_M_tokens(cc, ss_map, uncond)
         ctx = jnp.concatenate([ss, sc, cs, cc], axis=0)
+    if return_extras:
+        return ctx, extras
     return ctx
 
 

@@ -32,7 +32,9 @@ SLOW_MODULES = {
     "test_train",
     "test_trainer",
     "test_comp_distill",
+    "test_comp_face_align",
     "test_recon_multistep",
+    "test_recon_step",
     "test_joint_train",
     "test_golden_comp",
     "test_golden_pipeline",

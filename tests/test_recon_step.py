@@ -1,0 +1,236 @@
+"""Tests for the live recon iteration with the ArcFace identity loss
+(train/recon_step.py ≡ `calc_normal_recon_loss`, `ddpm.py:2593-2883`).
+
+Covers the VERDICT r2 done-criteria:
+- the recon loss dict contains a nonzero loss_arcface_align_recon whose
+  gradient reaches the SBG params;
+- face bboxes track the *generated* (decoded recon) image via the host
+  callback, not the input images;
+- the pure-noise variant (priming + chained gradient steps);
+- dp-mesh equality of the full graph including the host callback.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaface_tpu.id2ada.subj_basis_generator import (
+    SubjBasisConfig,
+    init_subj_basis_generator,
+)
+from adaface_tpu.models.arcface import init_arcface_params
+from adaface_tpu.models.clip import CLIPTextConfig, init_text_params
+from adaface_tpu.models.unet import UNetConfig, init_unet_params
+from adaface_tpu.models.vae import VAEConfig, init_vae_params
+from adaface_tpu.ops.schedules import DiffusionSchedule
+from adaface_tpu.text.embedding_manager import EmbeddingManager, PlaceholderSpec
+from adaface_tpu.text.tokenizer import CLIPTokenizer
+from adaface_tpu.train.face_detect import HostFaceDetector
+from adaface_tpu.train.prompt_batch import build_4block_prompt_batch
+from adaface_tpu.train.recon_step import ReconStepConfig, recon_loss_fn_v2
+from adaface_tpu.train.train_step import TrainConfig
+
+D = 64
+CLIP_CFG = CLIPTextConfig(hidden_size=D, num_layers=2, num_heads=2,
+                          intermediate_size=128)
+UNET_CFG = UNetConfig(block_channels=(16, 32, 32, 32), cross_attn_dim=D,
+                      num_heads=2, norm_groups=8, lora_rank=4, lora_alpha=1)
+SBG_CFG = SubjBasisConfig(num_id_vecs=4, output_dim=D, clip=CLIP_CFG)
+VAE_CFG = VAEConfig(base_ch=16, ch_mult=(1, 2, 2), num_res_blocks=1,
+                    norm_groups=8)
+K_ID = 4
+HW = 16  # latent; pixels = 16 * 4 = 64
+
+
+def _brightness_detector_fn(img):
+    """Deterministic content-driven detector: bbox of the brightest
+    quadrant's 24x24 region. Distinct images → distinct bboxes."""
+    g = img.astype(np.float32).mean(-1)
+    h, w = g.shape
+    y, x = np.unravel_index(np.argmax(g), g.shape)
+    x0, y0 = np.clip(x - 12, 0, w - 24), np.clip(y - 12, 0, h - 24)
+    return [(np.asarray((x0, y0, x0 + 24, y0 + 24), np.float32), 1.0)]
+
+
+def _setup(b=2, with_arcface=True, detector_fn=_brightness_detector_fn):
+    rng = jax.random.PRNGKey(0)
+    tok = CLIPTokenizer.character_fallback()
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", K_ID)])
+    sbg = init_subj_basis_generator(jax.random.fold_in(rng, 1), SBG_CFG,
+                                    tokenizer=tok)
+    frozen = {
+        "unet": init_unet_params(jax.random.fold_in(rng, 3), UNET_CFG),
+        "text_encoder": init_text_params(jax.random.fold_in(rng, 2), CLIP_CFG),
+        "sbg_buffers": sbg["buffers"],
+    }
+    if with_arcface:
+        frozen["vae"] = init_vae_params(jax.random.fold_in(rng, 4), VAE_CFG)
+        frozen["arcface"] = init_arcface_params(jax.random.fold_in(rng, 5),
+                                                use_se=False)
+    trainable = {"sbg": sbg["params"]}
+
+    ph = em.expand_placeholder(em.placeholders[0])
+    pbatch = build_4block_prompt_batch(
+        em, [f"a photo of {ph}"] * b,
+        [f"a photo of {ph} riding a bike"] * b,
+        ["a photo of person"] * b,
+        ["a photo of person riding a bike"] * b)
+    uncond_ids = np.asarray(tok([""], max_length=pbatch["prompt_ids"].shape[1]))
+
+    key = jax.random.PRNGKey(42)
+    px = HW * VAE_CFG.spatial_scale
+    ref_images = jnp.clip(
+        jax.random.normal(jax.random.fold_in(key, 7), (b, 3, px, px)) * 0.3,
+        -1, 1)
+    batch = {
+        "x_start": jax.random.normal(jax.random.fold_in(key, 0), (b, 4, HW, HW)),
+        "img_prompt_embs": jax.random.normal(jax.random.fold_in(key, 2),
+                                             (b, K_ID, D)),
+        "prompt_ids": jnp.asarray(pbatch["prompt_ids"]),
+        "splice_map": jnp.asarray(pbatch["splice_map"]),
+        "prompt_emb_mask": jnp.asarray(pbatch["prompt_emb_mask"]),
+        "uncond_ids": jnp.asarray(uncond_ids),
+        "img_mask": jnp.ones((b, 1, HW, HW)),
+        "fg_mask": jnp.ones((b, 1, HW, HW)).at[:, :, :, HW // 2:].set(0.0),
+        "ref_images": ref_images,
+        "ref_face_bboxes": jnp.tile(
+            jnp.asarray([[8.0, 8.0, 40.0, 40.0]]), (b, 1)),
+        "ref_face_detected": jnp.ones((b,)),
+        "recon_attn_lora_gate": jnp.float32(1.0),
+    }
+    detector = HostFaceDetector(detector_fn=detector_fn)
+    return frozen, trainable, batch, detector
+
+
+def _cfg():
+    return TrainConfig(unet=UNET_CFG, sbg=SBG_CFG, clip_text=CLIP_CFG,
+                       training_perturb_prob=0.0)
+
+
+def test_arcface_align_loss_live_and_grads_reach_sbg():
+    frozen, trainable, batch, det = _setup()
+    sched = DiffusionSchedule.create()
+    rcfg = ReconStepConfig(num_denoising_steps=2, vae_cfg=VAE_CFG,
+                           compute_dtype="float32",
+                           recon_face_align_loss_thres=-1.0)
+    (loss, metrics), grads = jax.value_and_grad(
+        recon_loss_fn_v2, has_aux=True)(
+        trainable, frozen, batch, sched, _cfg(), jax.random.PRNGKey(0),
+        rcfg=rcfg, detector=det)
+    assert np.isfinite(float(loss))
+    assert float(metrics["loss_arcface_align_recon"]) > 0
+    assert float(metrics["recon_face_detected_frac"]) == 1.0
+    g_sbg = sum(float(jnp.abs(x).sum())
+                for x in jax.tree_util.tree_leaves(grads["sbg"]))
+    assert g_sbg > 0
+    # the identity term actually shapes the gradient: recompute with the
+    # align path disabled (no arcface in frozen) and compare
+    frozen_no = {k: v for k, v in frozen.items() if k != "arcface"}
+    (_, m2), g2 = jax.value_and_grad(recon_loss_fn_v2, has_aux=True)(
+        trainable, frozen_no, batch, sched, _cfg(), jax.random.PRNGKey(0),
+        rcfg=rcfg, detector=det)
+    assert "loss_arcface_align_recon" not in m2
+    diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(grads["sbg"]),
+        jax.tree_util.tree_leaves(g2["sbg"])))
+    assert diff > 0
+
+
+def test_bboxes_track_generated_image_not_input():
+    """The host detector must see the decoded recon (which differs from
+    the input image), and its bbox must follow the generated content."""
+    seen = []
+
+    def spy_detector(img):
+        seen.append(img.copy())
+        return _brightness_detector_fn(img)
+
+    frozen, trainable, batch, det = _setup(detector_fn=spy_detector)
+    sched = DiffusionSchedule.create()
+    rcfg = ReconStepConfig(num_denoising_steps=2, vae_cfg=VAE_CFG,
+                           compute_dtype="float32")
+    loss, metrics = recon_loss_fn_v2(
+        trainable, frozen, batch, sched, _cfg(), jax.random.PRNGKey(0),
+        rcfg=rcfg, detector=det)
+    jax.block_until_ready(loss)
+    # one detection per recon step, on every instance
+    assert len(seen) == 2 * batch["x_start"].shape[0]
+    ref = np.clip((np.asarray(batch["ref_images"][0]).transpose(1, 2, 0)
+                   + 1) * 127.5, 0, 255).astype(np.uint8)
+    # the detector input is the GENERATED image — not the training input
+    assert any(np.abs(s.astype(np.int32) - ref.astype(np.int32)).mean() > 4
+               for s in seen)
+
+
+def test_pure_noise_variant_runs():
+    frozen, trainable, batch, det = _setup()
+    sched = DiffusionSchedule.create()
+    rcfg = ReconStepConfig(num_denoising_steps=2, num_priming_steps=2,
+                           on_pure_noise=True, vae_cfg=VAE_CFG,
+                           compute_dtype="float32")
+    (loss, metrics), grads = jax.value_and_grad(
+        recon_loss_fn_v2, has_aux=True)(
+        trainable, frozen, batch, sched, _cfg(), jax.random.PRNGKey(0),
+        rcfg=rcfg, detector=det)
+    assert np.isfinite(float(loss))
+    # recon loss is NOT optimized on pure noise (`ddpm.py:2850-2868`)
+    assert "loss_recon" not in metrics
+    assert "loss_recon_cls" in metrics
+    g = sum(float(jnp.abs(x).sum())
+            for x in jax.tree_util.tree_leaves(grads["sbg"]))
+    assert g > 0
+
+
+def test_align_threshold_gates_optimized_term():
+    """Steps whose align loss exceeds recon_face_align_loss_thres are
+    excluded from the optimized mean but kept in the stat
+    (`ddpm.py:2724-2734`)."""
+    frozen, trainable, batch, det = _setup()
+    sched = DiffusionSchedule.create()
+    base = dict(num_denoising_steps=1, vae_cfg=VAE_CFG,
+                compute_dtype="float32")
+    rcfg_keep = ReconStepConfig(recon_face_align_loss_thres=-1.0, **base)
+    rcfg_gate = ReconStepConfig(recon_face_align_loss_thres=1e-9, **base)
+    l_keep, m_keep = recon_loss_fn_v2(
+        trainable, frozen, batch, sched, _cfg(), jax.random.PRNGKey(0),
+        rcfg=rcfg_keep, detector=det)
+    l_gate, m_gate = recon_loss_fn_v2(
+        trainable, frozen, batch, sched, _cfg(), jax.random.PRNGKey(0),
+        rcfg=rcfg_gate, detector=det)
+    # identical stat, different optimized totals (gated one drops the term)
+    np.testing.assert_allclose(float(m_keep["loss_arcface_align_recon"]),
+                               float(m_gate["loss_arcface_align_recon"]),
+                               rtol=1e-5)
+    assert float(m_gate["recon_face_align_kept_frac"]) == 0.0
+    assert float(m_keep["recon_face_align_kept_frac"]) == 1.0
+    assert float(l_keep) != float(l_gate)
+
+
+def test_recon_v2_dp_mesh_matches_single_device():
+    from adaface_tpu.parallel.mesh import make_mesh, shard_batch
+    from adaface_tpu.train.optimizers import make_optimizer
+    from adaface_tpu.train.recon_step import make_recon_loss_fn
+    from adaface_tpu.train.train_step import init_state, make_train_step
+
+    frozen, trainable, batch, det = _setup(b=4)
+    sched = DiffusionSchedule.create()
+    rcfg = ReconStepConfig(num_denoising_steps=2, vae_cfg=VAE_CFG,
+                           compute_dtype="float32")
+    loss_fn = make_recon_loss_fn(rcfg, det)
+    opt = make_optimizer("adamw", 1e-3)
+    state = init_state(trainable, opt)
+    mesh = make_mesh(dp=4, tp=2)
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        step = make_train_step(loss_fn, opt, frozen, sched, _cfg(),
+                               donate=False)
+        _, metrics = step(state, sharded, jax.random.PRNGKey(0))
+    step_local = make_train_step(loss_fn, opt, frozen, sched, _cfg(),
+                                 donate=False)
+    _, metrics_local = step_local(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics_local["loss"]), rtol=1e-4)
+    assert float(metrics["loss_arcface_align_recon"]) > 0
