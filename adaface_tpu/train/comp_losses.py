@@ -256,11 +256,18 @@ def calc_comp_subj_bg_preserve_loss(
     layer_weights: dict[int, float] = {22: 1 / 3, 23: 1 / 3, 24: 1 / 3},
     sc_recon_ssfg_loss_scale: float = 0.1,
     sc_recon_mc_loss_scale: float = 0.2,
-    do_sc_fg_faces_suppress: bool = False,
+    do_sc_fg_faces_suppress: "jax.Array | float" = 0.0,
+    sc_face_shrink_ratio: "jax.Array | float" = 1.0,
 ):
-    """→ (loss_comp_fg_bg_preserve, metrics dict)."""
-    if do_sc_fg_faces_suppress:
-        sc_recon_ssfg_loss_scale = 0.0
+    """→ (loss_comp_fg_bg_preserve, metrics dict).
+
+    do_sc_fg_faces_suppress may be a traced {0,1} gate (the reference's
+    branch zeroes the ssfg term, `ldm/util.py:1987-1990` via
+    `ddpm.py:3429-3462`); sc_face_shrink_ratio shrinks the sc face box
+    for the bg-matching mask (`sc_face_shrink_ratio_for_bg_matching_mask`,
+    `ddpm.py:3456,3462`)."""
+    gate = jnp.asarray(do_sc_fg_faces_suppress, jnp.float32)
+    ssfg_scale = sc_recon_ssfg_loss_scale * (1.0 - gate)
     total = jnp.float32(0.0)
     metrics: dict[str, jax.Array] = {}
     qs = ca_layers_activations["q2"]
@@ -280,13 +287,29 @@ def calc_comp_subj_bg_preserve_loss(
         losses = calc_elastic_matching_loss(
             q, attn_outs[layer], outfeat, hh, ww,
             ss_face_bboxes, sc_face_bboxes, flow_fn=flow_fn,
-            small_motion_ignore_thres=small_motion_ignore_thres)
+            small_motion_ignore_thres=small_motion_ignore_thres,
+            sc_face_shrink_ratio=sc_face_shrink_ratio)
         total = total + w * (
-            losses["sc_recon_ssfg_min"] * sc_recon_ssfg_loss_scale
+            losses["sc_recon_ssfg_min"] * ssfg_scale
             + losses["sc_recon_mc_min"] * sc_recon_mc_loss_scale)
         for k, v in losses.items():
             metrics[f"l{layer}_{k}"] = v
     return total, metrics
+
+
+def calc_dyn_loss_scale(
+    loss: "jax.Array | float",
+    base_loss_and_scale: tuple[float, float],
+    ref_loss_and_scale: tuple[float, float],
+    valid_scale_range: tuple[float, float] = (0.0, 100.0),
+) -> jax.Array:
+    """Linear loss→scale interpolation (`calc_dyn_loss_scale`,
+    `ldm/util.py:1485-1520`), jittable."""
+    base_loss, base_scale = base_loss_and_scale
+    ref_loss, ref_scale = ref_loss_and_scale
+    rel = (jnp.asarray(loss, jnp.float32) - base_loss) / (ref_loss - base_loss)
+    scale = rel * (ref_scale - base_scale) + base_scale
+    return jnp.clip(scale, valid_scale_range[0], valid_scale_range[1])
 
 
 def calc_sc_rep_attn_distill_loss(

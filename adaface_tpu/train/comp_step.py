@@ -85,8 +85,13 @@ class CompDistillConfig:
     use_ffn_lora: bool = True  # comp_uses_ffn_lora (`:130`)
     p_comp_ffn_lora: float = 0.5  # per-step gate (`guided_denoise:1640`)
     res_hidden_gradscale: float = 0.5  # `:141`
-    attn_norm_weight: float = 0.02
-    rep_distill_weight: float = 0.02
+    # calc_attn_norm_loss is DEAD CODE in the reference at this snapshot
+    # (defined at `ldm/util.py:1756` but never called) — computed as a
+    # monitor metric here; weight 0 for behavioral parity
+    attn_norm_weight: float = 0.0
+    # the reference adds loss_comp_rep_distill UNWEIGHTED with its own
+    # internal scales (`ddpm.py:3574-3590`); this knob stays for ablation
+    rep_distill_weight: float = 1.0
     fg_bg_preserve_weight: float = 1.0
     # monitor-only in the reference: the contribution to the total loss is
     # commented out ("* 0 => DISABLED", `ddpm.py:3553-3556`)
@@ -107,6 +112,19 @@ class CompDistillConfig:
     # UNet compute dtype: bfloat16 on TPU (the reference autocasts to fp16,
     # `ddpm.py:4225`); golden tests set "float32" for exact parity
     compute_dtype: str = "bfloat16"
+    # ---- identity-loss family (`ddpm.py:3225-3464,3602-3733`) ----
+    arcface_align_loss_weight: float = 0.01  # `:127`
+    comp_sc_face_align_loss_thres: float = 0.7  # `:97`
+    comp_ss_face_confidence_thres: float = 0.99  # `:111`
+    comp_sc_subj_mb_suppress_loss_weight: float = 0.2  # `:87`
+    sc_fg_face_suppress_mask_shrink_ratio: float = 0.3  # `:90`
+    comp_sc_fg_mask_percent_range: tuple[float, float] = (0.0225, 0.36)
+    redenoise_crop_mix_weights: tuple = (0.5, 0.25, 0.25)  # `:109`
+    lap_vars_tolerance: float = 0.3  # `:113`
+    max_arcface_align_loss_count: int = 3  # `ddpm.py:3608`
+    rep_dist_fg_bounds: tuple = (0.1, 0.20, 0.25)  # `ddpm.py:3220`
+    max_bg_faces: int = 2
+    vae_cfg: Any = None  # tiny towers in tests; None → SD_VAE
 
 
 def _chain_power(num_steps: int) -> float:
@@ -230,7 +248,9 @@ def comp_distill_denoise(
     cfg: CompDistillConfig = CompDistillConfig(),
 ):
     """→ (captured_per_step: list of activation dicts, x_recons: list of
-    [4B,…] per-step CFG'd reconstructions, ts: list of [4B]).
+    [4B,…] per-step CFG'd reconstructions, ts: list of [4B], x_inputs:
+    list of [4B,…] per-step chain inputs — the reference's `x_starts`,
+    consumed by `redenoise_subj_single`).
 
     Only the SC block (index 1) carries gradients; x_starts chain through
     DETACHED x_recons (`ddpm.py:2080-2086`, old_x_starts_mix_ratio=0)."""
@@ -318,9 +338,11 @@ def comp_distill_denoise(
     captured_steps = []
     x_recons = []
     ts = []
+    x_inputs = []
     x = x_start4
     t = jnp.tile(rand["den_t0"], (4,))
     for i in range(n_steps):
+        x_inputs.append(x)
         noise4 = jnp.tile(rand["den_noises"][i], (4, 1, 1, 1))
         x_t = schedule.q_sample(x, t, noise4)
         eps, cap = cond_step(unet_params, attn_lora, ffn_lora,
@@ -348,7 +370,7 @@ def comp_distill_denoise(
             et = ((tf * ub_f - tf * lb_f) * rand["den_rel_ts"][i]
                   + tf * lb_f).astype(jnp.int32)
             t = jnp.tile(et, (4,))
-    return captured_steps, x_recons, ts
+    return captured_steps, x_recons, ts, x_inputs
 
 
 def encode_comp_prompts(
@@ -423,6 +445,7 @@ def comp_distill_loss_fn(
     cfg: TrainConfig,
     rng: jax.Array,
     comp_cfg: CompDistillConfig = CompDistillConfig(),
+    detector=None,  # HostFaceDetector for detection-on-recons
 ):
     """Full comp-distill iteration loss.
 
@@ -475,7 +498,7 @@ def comp_distill_loss_fn(
 
     splice4 = rows4(batch["splice_map"])
     subj_mask4 = (splice4 >= 0).astype(jnp.float32)
-    captured_steps, x_recons, ts = comp_distill_denoise(
+    captured_steps, x_recons, ts, x_inputs = comp_distill_denoise(
         frozen["unet"], cfg.unet, schedule, x4, ctx4_run, ctx["uncond"],
         subj_mask4, rand,
         attn_lora=trainable.get("attn_lora"),
@@ -483,38 +506,125 @@ def comp_distill_loss_fn(
         cfg=comp_cfg,
     )
 
-    last = captured_steps[-1]
-    prev = captured_steps[-2] if len(captured_steps) > 1 else last
+    n_steps = len(captured_steps)
     subj_mask_1b = subj_mask4[:b]
+    loss = jnp.float32(0.0)
+    metrics: Params = {}
 
-    loss_attn_norm = calc_attn_norm_loss(
-        {k: jnp.concatenate([jnp.split(v, 4)[1], jnp.split(v, 4)[3]], axis=0)
-         for k, v in last["attnscore"].items()},
-        subj_mask_1b)
+    # ---- identity-loss family on decoded recons (`ddpm.py:3225-3464`) ----
+    have_face = ("arcface" in frozen and "vae" in frozen
+                 and detector is not None
+                 and comp_cfg.arcface_align_loss_weight > 0
+                 and "ref_images" in batch)
+    if have_face:
+        from adaface_tpu.train.comp_face_align import comp_identity_losses
 
+        batch_f = batch
+        if "redenoise_rand" not in batch:
+            k1, k2 = jax.random.split(jax.random.fold_in(k_rand, 99))
+            sh = (n_steps, b, *batch["noise"].shape[1:])
+            batch_f = dict(batch,
+                           redenoise_rand={
+                               "x": jax.random.normal(k1, sh),
+                               "n": jax.random.normal(k2, sh)})
+        id_loss, aux, id_metrics = comp_identity_losses(
+            frozen, detector, x_recons, x_inputs, rand["den_noises"], ts,
+            captured_steps, ctx["ss"], ctx["uncond"], subj_mask_1b,
+            batch_f, trainable.get("attn_lora"), trainable.get("ffn_lora"),
+            cfg.unet, schedule, comp_cfg)
+        loss = loss + id_loss
+        metrics.update(id_metrics)
+        captured_steps = aux["captured_steps"]
+        sc_fg_pct = aux["sc_fg_mask_percent"]
+        ss_bboxes_per_step = aux["ss_bboxes_per_step"]
+        sc_bboxes = aux["sc_fg_face_bboxes"]
+        fg_bg_gates = aux["fg_bg_gates"]
+        ct_gates = aux["ct_gates"]
+        shrink = aux["shrink_ratio"]
+        do_supp = aux["do_sc_fg_faces_suppress"]
+    else:
+        # fallback (no face towers wired): pre-denoise bboxes/percent from
+        # the batch, all steps active, classic mb-suppress on the fg mask
+        sc_fg_pct = jnp.asarray(batch.get("sc_fg_mask_percent", 1.0))
+        ss_bboxes_per_step = [batch["ss_face_bboxes"]] * n_steps
+        sc_bboxes = batch["sc_face_bboxes"]
+        fg_bg_gates = jnp.ones((n_steps,))
+        ct_gates = jnp.zeros((n_steps,)).at[n_steps - 2].set(1.0) \
+            if n_steps > 1 else jnp.zeros((n_steps,))
+        shrink = 1.0
+        do_supp = 0.0
+        sc_attn = {k: jnp.split(v, 4)[1]
+                   for k, v in captured_steps[-1]["attn"].items()}
+        loss_mb = calc_subj_masked_bg_suppress_loss(
+            sc_attn, subj_mask_1b, batch.get("fg_mask"))
+        loss = loss + comp_cfg.mb_suppress_weight * loss_mb
+        metrics["loss_mb_suppress"] = loss_mb
+
+    # ---- per-step losses over ALL denoising steps (`ddpm.py:3466-3514`) --
     emb_mask4 = rows4(batch["prompt_emb_mask"])
     pad_mask4 = rows4(batch["prompt_pad_mask"])
-    rep_losses = calc_sc_rep_attn_distill_loss(
-        last, subj_mask_1b, emb_mask4, pad_mask4,
-        batch.get("sc_fg_mask_percent", 1.0))
-
     flow_fn = None
     if comp_cfg.use_face_flow and "flow" in frozen:
         from adaface_tpu.models.gma import make_latent_flow_fn
 
         flow_fn = make_latent_flow_fn(frozen["flow"]["gma"])
-    loss_fg_bg, em_metrics = calc_comp_subj_bg_preserve_loss(
-        last, batch["ss_face_bboxes"], batch["sc_face_bboxes"],
-        flow_fn=flow_fn,
-        small_motion_ignore_thres=comp_cfg.small_motion_ignore_thres)
 
-    loss_cross_t = calc_subj_attn_cross_t_diff_loss(
-        prev, last, subj_mask_1b)
+    rep_sums = {k: jnp.float32(0.0) for k in (
+        "subj_attn", "subj_k", "nonsubj_k", "subj_v", "nonsubj_v")}
+    fg_bg_steps = []
+    ct_steps = []
+    for s in range(n_steps):
+        rep_s = calc_sc_rep_attn_distill_loss(
+            captured_steps[s], subj_mask_1b, emb_mask4, pad_mask4,
+            sc_fg_pct, fg_thres=comp_cfg.rep_dist_fg_bounds[0])
+        for k in rep_sums:
+            rep_sums[k] = rep_sums[k] + rep_s[k] / n_steps
+        loss_fg_bg_s, em_metrics = calc_comp_subj_bg_preserve_loss(
+            captured_steps[s], ss_bboxes_per_step[s], sc_bboxes,
+            flow_fn=flow_fn,
+            small_motion_ignore_thres=comp_cfg.small_motion_ignore_thres,
+            do_sc_fg_faces_suppress=do_supp,
+            sc_face_shrink_ratio=shrink)
+        fg_bg_steps.append(loss_fg_bg_s)
+        if s < n_steps - 1:
+            ct_steps.append(calc_subj_attn_cross_t_diff_loss(
+                captured_steps[s], captured_steps[s + 1], subj_mask_1b))
 
-    # mb-suppress on the sc block attn only
-    sc_attn = {k: jnp.split(v, 4)[1] for k, v in last["attn"].items()}
-    loss_mb = calc_subj_masked_bg_suppress_loss(
-        sc_attn, subj_mask_1b, batch.get("fg_mask"))
+    loss_fg_bg = (jnp.stack(fg_bg_steps) * fg_bg_gates).sum() \
+        / (fg_bg_gates.sum() + 1e-6)
+    loss = loss + comp_cfg.fg_bg_preserve_weight * loss_fg_bg
+    metrics["loss_comp_fg_bg_preserve"] = loss_fg_bg
+
+    if ct_steps:
+        ctg = ct_gates[:len(ct_steps)]
+        loss_cross_t = (jnp.stack(ct_steps) * ctg).sum() / (ctg.sum() + 1e-6)
+    else:
+        loss_cross_t = jnp.float32(0.0)
+    # monitor-only in the reference ("* 0 => DISABLED", `ddpm.py:3553-3556`)
+    loss = loss + comp_cfg.cross_t_diff_weight * loss_cross_t
+    metrics["loss_cross_t_diff"] = loss_cross_t
+
+    # ---- rep-distill assembly (`ddpm.py:3556-3590`) ----
+    from adaface_tpu.train.comp_losses import calc_dyn_loss_scale
+
+    bounds = comp_cfg.rep_dist_fg_bounds
+    fg_scale = calc_dyn_loss_scale(
+        sc_fg_pct, (bounds[1], 0.5), (bounds[2], 2.0),
+        valid_scale_range=(0.05, 2.0)) * (sc_fg_pct > 0)
+    loss_rep = ((rep_sums["subj_attn"] + rep_sums["subj_k"]
+                 + rep_sums["subj_v"]) * 2.0
+                + rep_sums["nonsubj_k"] * 5.0
+                + rep_sums["nonsubj_v"] * 2.0) * fg_scale
+    loss = loss + comp_cfg.rep_distill_weight * loss_rep
+    metrics["loss_rep_distill"] = loss_rep
+
+    # attn-norm: dead code in the reference (never called) — monitor only
+    loss_attn_norm = calc_attn_norm_loss(
+        {k: jnp.concatenate([jnp.split(v, 4)[1], jnp.split(v, 4)[3]], axis=0)
+         for k, v in captured_steps[-1]["attnscore"].items()},
+        subj_mask_1b)
+    loss = loss + comp_cfg.attn_norm_weight * loss_attn_norm
+    metrics["loss_attn_norm"] = loss_attn_norm
 
     # prompt-delta loss on [ss, sc, cs_dist, cc_dist] with the ORIGINAL
     # masks (`prompt_emb_4b_orig_dist` + `prompt_emb_mask_4b_orig`,
@@ -525,23 +635,7 @@ def comp_distill_loss_fn(
         [batch["prompt_emb_mask"][:2 * b],
          batch["prompt_emb_mask"][3 * b:5 * b]], axis=0)
     loss_delta = calc_prompt_emb_delta_loss(ctx4_delta, emb_mask_orig)
-
-    loss_rep = sum(rep_losses.values())
-    loss = (
-        comp_cfg.attn_norm_weight * loss_attn_norm
-        + comp_cfg.rep_distill_weight * loss_rep
-        + comp_cfg.fg_bg_preserve_weight * loss_fg_bg
-        + comp_cfg.cross_t_diff_weight * loss_cross_t
-        + comp_cfg.mb_suppress_weight * loss_mb
-        + comp_cfg.prompt_emb_delta_weight * loss_delta
-    )
-    metrics = {
-        "loss": loss,
-        "loss_attn_norm": loss_attn_norm,
-        "loss_rep_distill": loss_rep,
-        "loss_comp_fg_bg_preserve": loss_fg_bg,
-        "loss_cross_t_diff": loss_cross_t,
-        "loss_mb_suppress": loss_mb,
-        "loss_prompt_emb_delta": loss_delta,
-    }
+    loss = loss + comp_cfg.prompt_emb_delta_weight * loss_delta
+    metrics["loss_prompt_emb_delta"] = loss_delta
+    metrics["loss"] = loss
     return loss, metrics

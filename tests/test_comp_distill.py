@@ -318,7 +318,7 @@ def test_comp_distill_per_block_grad_gating():
                                    batch["splice_map"][4:5]], 0)
         subj_mask4 = (splice4 >= 0).astype(jnp.float32)
         x4 = jnp.tile(batch["noise"], (4, 1, 1, 1))
-        caps, recons, _ = comp_distill_denoise(
+        caps, recons, _, _ = comp_distill_denoise(
             frozen["unet"], cfg.unet, sched, x4, ctx4, ctx["uncond"],
             subj_mask4, rand, cfg=comp_cfg)
         out = caps[-1]["attn_out"][24]

@@ -267,7 +267,7 @@ def test_multistep_denoise_matches_reference(ref, monkeypatch):
                              use_attn_lora=False, use_ffn_lora=False,
                              normalize_cross_attn=False,
                              compute_dtype="float32")
-    _, got_recons, got_ts = comp_distill_denoise(
+    _, got_recons, got_ts, _ = comp_distill_denoise(
         params, CFG, sched, jnp.asarray(x4.numpy()),
         jnp.asarray(ctx4.numpy()), jnp.asarray(uncond.numpy()),
         jnp.zeros((4 * b, S), jnp.float32), rand, cfg=ccfg)
