@@ -332,6 +332,14 @@ class PersonalizedBase:
         e["cls_single_mod_prompt"] = base.format(cls_delta) + ", " + modifier
         e["subj_comp_mod_prompt"] = base.format(subject_string) + ", " + mod_compos
         e["cls_comp_mod_prompt"] = base.format(cls_delta) + ", " + mod_compos
+        # modifier-bearing fp/p variants, used by comp-distill and
+        # recon-on-pure-noise prompt selection (`generate_prompts:608-617`,
+        # consumed by `ddpm.py:999-1046`)
+        for tag, tmpl in (("fp", fp_tmpl), ("p", p_tmpl)):
+            e[f"subj_single_mod_prompt_{tag}"] = tmpl.format(subject_string) + ", " + modifier
+            e[f"cls_single_mod_prompt_{tag}"] = tmpl.format(cls_delta) + ", " + modifier
+            e[f"subj_comp_mod_prompt_{tag}"] = tmpl.format(subject_string) + ", " + mod_compos
+            e[f"cls_comp_mod_prompt_{tag}"] = tmpl.format(cls_delta) + ", " + mod_compos
         e["compos_partial_prompt"] = compos_partial
         e["mod_compos_partial_prompt"] = mod_compos
         e["prompt_modifier"] = modifier

@@ -366,28 +366,72 @@ def convert_vae_diffusers(sd: Mapping[str, np.ndarray],
     }
 
 
-def load_sd_towers(path: str) -> dict:
+def apply_ema_weights(sd: Mapping[str, np.ndarray]) -> dict:
+    """Substitute `model.diffusion_model.*` weights with their EMA
+    shadows. Real single-file SD checkpoints (v1-5-pruned.ckpt) store EMA
+    copies flattened as `model_ema.` + the param name with dots removed
+    (LitEma naming), e.g. `model.diffusion_model.out.2.bias` →
+    `model_ema.diffusion_modelout2bias`. Non-tensor EMA bookkeeping keys
+    (`model_ema.decay`, `model_ema.num_updates`) are ignored."""
+    out = dict(sd)
+    n = 0
+    for k in sd:
+        if not k.startswith("model.diffusion_model."):
+            continue
+        ema_key = "model_ema." + k[len("model."):].replace(".", "")
+        if ema_key in sd:
+            out[k] = sd[ema_key]
+            n += 1
+    if n == 0:
+        raise ValueError("prefer_ema=True but no model_ema.* shadows found")
+    return out
+
+
+def load_sd_towers(path: str, unet_cfg: UNetConfig = SD15_UNET,
+                   vae_cfg: VAEConfig = SD_VAE,
+                   prefer_ema: bool = False,
+                   cast_fp32: bool = True) -> dict:
     """Load an SD1.5 checkpoint from disk and convert every tower present.
 
-    Accepts the LDM single-file layout (`v1-5-pruned.ckpt` — the format the
-    reference's `scripts/ckpt_lib.py` surgeries operate on and
+    Accepts the LDM single-file layout (`v1-5-pruned.ckpt` /
+    `sd15-dste8-vae.safetensors` — the format the reference's
+    `scripts/ckpt_lib.py` surgeries operate on and
     `load_model_from_config` consumes, `ldm/util.py:130`) or a bare
     diffusers UNet state dict. Returns a dict with whichever of
     `unet` / `vae` / `text_encoder` (+ `text_cfg`) the file contains.
+
+    prefer_ema substitutes the UNet weights with their `model_ema.*`
+    shadows (the reference loads non-EMA; the pruned-emaonly releases
+    ship only EMA). cast_fp32 upcasts fp16 checkpoints (e.g. the fp16
+    840k-MSE VAE) so the params match the training dtype convention.
     """
     from adaface_tpu.tools.ckpt_lib import extract_subtree, load_state_dict
     from adaface_tpu.tools.convert_clip import convert_text_model
     from adaface_tpu.tools.convert_ldm_unet import convert_ldm_unet
 
     sd = load_state_dict(path)
+    # drop non-array bookkeeping entries (model_ema.decay / num_updates,
+    # LDM schedule buffers are 0-d or 1-d floats and simply never matched)
+    sd = {k: v for k, v in sd.items() if hasattr(v, "shape")}
+    if prefer_ema:
+        sd = apply_ema_weights(sd)
     out: dict = {}
     if any(k.startswith("model.diffusion_model.") for k in sd):
-        out["unet"] = convert_ldm_unet(sd)
+        out["unet"] = convert_ldm_unet(sd, unet_cfg)
         if any(k.startswith("first_stage_model.") for k in sd):
-            out["vae"] = convert_vae_ldm(extract_subtree(sd, "first_stage_model."))
+            out["vae"] = convert_vae_ldm(
+                extract_subtree(sd, "first_stage_model."), vae_cfg)
         if any(k.startswith("cond_stage_model.transformer.") for k in sd):
             te = extract_subtree(sd, "cond_stage_model.transformer.")
             out["text_encoder"], out["text_cfg"] = convert_text_model(te)
     else:
-        out["unet"] = convert_unet(sd)
+        out["unet"] = convert_unet(sd, unet_cfg)
+    if cast_fp32:
+        import jax
+
+        out = {k: (jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, v) if k != "text_cfg" else v)
+            for k, v in out.items()}
     return out

@@ -76,11 +76,17 @@ def test_trainer_runs_all_iteration_types(toy_dataset, tmp_path):
               "sbg_buffers": encoder.subj_basis_generator["buffers"]}
     trainable = {"sbg": encoder.subj_basis_generator["params"]}
 
+    from adaface_tpu.train.recon_step import ReconStepConfig
+
     cfg = TrainerConfig(
         log_dir=str(tmp_path / "logs"), batch_size=2, max_steps=6,
         accum_steps=1, ckpt_every=6, optimizer="adamw", lr=1e-4,
         warmup_steps=1, comp_distill_iter_gap=3, unet_distill_iter_gap=2,
-        image_size=128, num_vectors_per_subj_token=k_id)
+        image_size=128, num_vectors_per_subj_token=k_id,
+        # keep the toy run to two recon graph shapes with short loops
+        recon_cfg=ReconStepConfig(num_denoising_steps=1,
+                                  num_priming_steps=1,
+                                  compute_dtype="float32"))
     # image 128 → x_start 16x16 (no VAE → size/8)
     train_cfg = TrainConfig(unet=UNET_CFG, sbg=encoder.sbg_cfg,
                             clip_text=SMALL_CLIP)
