@@ -180,6 +180,27 @@ def detect_faces_in_graph(
         jax.lax.stop_gradient(images).astype(jnp.float32))
 
 
+_CALLBACK_SUPPORT: dict[str, bool] = {}
+
+
+def backend_supports_callbacks() -> bool:
+    """Probe whether the default backend can run host callbacks inside
+    jit. Some PJRT plugins (the axon TPU relay) raise UNIMPLEMENTED for
+    host send/recv — those backends must use the two-phase detection
+    choreography (recon_step.make_two_phase_recon_step) instead of the
+    in-graph pure_callback."""
+    platform = jax.default_backend()
+    if platform not in _CALLBACK_SUPPORT:
+        try:
+            out = jax.jit(lambda x: jax.pure_callback(
+                lambda v: np.asarray(v),
+                jax.ShapeDtypeStruct((), jnp.float32), x))(jnp.float32(1.0))
+            _CALLBACK_SUPPORT[platform] = bool(float(out) == 1.0)
+        except Exception:
+            _CALLBACK_SUPPORT[platform] = False
+    return _CALLBACK_SUPPORT[platform]
+
+
 def bbox_latent_mask(bboxes: jax.Array, detected: jax.Array,
                      hw: tuple[int, int]) -> jax.Array:
     """[B,4] latent-coord boxes → [B,1,h,w] {0,1} mask; undetected rows

@@ -147,6 +147,7 @@ def recon_loss_fn_v2(
     rng: jax.Array,
     rcfg: ReconStepConfig = ReconStepConfig(),
     detector: HostFaceDetector | None = None,
+    collect_mode: bool = False,
 ):
     """Full normal-recon iteration loss (`p_losses` recon branch,
     `ddpm.py:2296-2353` → `calc_normal_recon_loss`).
@@ -157,6 +158,18 @@ def recon_loss_fn_v2(
     `ddpm.py:2514`); ref_face_bboxes [B,4] + ref_face_detected [B]
     host-detected on the inputs; recon_attn_lora_gate [] ∈ {0,1};
     optional recon_rand (pre-sampled randomness).
+
+    Detection choreography (SURVEY §7 "hard part 2") has two modes:
+    - in-graph `pure_callback` (default) — ONE jitted graph; used on
+      backends with host-callback support (CPU mesh, standard PJRT);
+    - two-phase — some PJRT relays (axon) reject host callbacks, so
+      `collect_mode=True` runs the identical denoise without gradients
+      and returns the decoded recons in the metrics ("recon_px"
+      [S_active, B, 3, H, W]); the host detects on them and re-invokes
+      the loss with `batch["recon_face_dets"]` = {fg [S,B,4], det [S,B],
+      conf [S,B], bgb [S,B,Nbg,4], bgv [S,B,Nbg]}, which replaces the
+      callback. The denoise trajectory is detection-independent, so both
+      phases produce bitwise-identical recons from the same rng.
     """
     ada = compute_ada_embs(trainable, frozen, batch["img_prompt_embs"], cfg)
     if cfg.training_perturb_prob > 0:
@@ -198,7 +211,10 @@ def recon_loss_fn_v2(
 
     have_arcface = ("arcface" in frozen and "vae" in frozen
                     and rcfg.arcface_align_loss_weight > 0
-                    and detector is not None)
+                    and (detector is not None
+                         or "recon_face_dets" in batch))
+    if collect_mode:
+        have_arcface = False
     # attn-LoRA 50% gate rides in as data (off on pure noise, `:2307-2317`)
     attn_gate = batch.get("recon_attn_lora_gate", jnp.float32(0.0))
     attn_gate = jnp.broadcast_to(jnp.asarray(attn_gate, jnp.float32), (b,))
@@ -232,6 +248,7 @@ def recon_loss_fn_v2(
     recon_steps, recon_cls_steps, scale_steps, mb_steps = [], [], [], []
     pred_l2s = []
     det_fracs = []
+    collected_px = []
 
     x = x0
     t = rand["t0"]
@@ -259,21 +276,28 @@ def recon_loss_fn_v2(
             continue
 
         # ---- subject-conditioned denoise (gradient + capture) ----
+        rt_s = rt_nograd if collect_mode else rt_grad
         eps_subj, cap = unet_apply(
             unet_params, x_t.astype(dt), t, ctx_subj.astype(dt), cfg.unet,
-            rt=rt_grad, img_mask=img_mask, subj_mask=subj_mask,
+            rt=rt_s, img_mask=img_mask, subj_mask=subj_mask,
             attn_lora=a_lora,
             attn_lora_gate=attn_gate if use_attn_lora else None)
         eps_subj = eps_subj.astype(x.dtype)
-        # ---- cls + uncond in one no-grad batched call ----
-        x2 = jnp.concatenate([x_t, x_t], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        c2 = jnp.concatenate([ctx_cls, uncond_b], axis=0)
-        g2 = jnp.concatenate([attn_gate, jnp.zeros_like(attn_gate)])
-        m2 = (jnp.concatenate([img_mask, jnp.ones_like(img_mask)], axis=0)
-              if img_mask is not None else None)
-        eps2 = denoise_nograd(x2, t2, c2, g2, m2)
-        eps_cls, eps_un = jnp.split(eps2, 2, axis=0)
+        if collect_mode:
+            # the cls prediction never feeds x_recon — skip it
+            eps_un = denoise_nograd(x_t, t, uncond_b,
+                                    jnp.zeros_like(attn_gate), None)
+            eps_cls = eps_subj  # placeholder, unused
+        else:
+            # ---- cls + uncond in one no-grad batched call ----
+            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            c2 = jnp.concatenate([ctx_cls, uncond_b], axis=0)
+            g2 = jnp.concatenate([attn_gate, jnp.zeros_like(attn_gate)])
+            m2 = (jnp.concatenate([img_mask, jnp.ones_like(img_mask)],
+                                  axis=0) if img_mask is not None else None)
+            eps2 = denoise_nograd(x2, t2, c2, g2, m2)
+            eps_cls, eps_un = jnp.split(eps2, 2, axis=0)
 
         do_cfg = rcfg.cfg_scale > 1 and (s_total > 1 or on_noise)
         if do_cfg:
@@ -287,13 +311,24 @@ def recon_loss_fn_v2(
         pred_l2s.append((eps_subj_cfg.astype(jnp.float32) ** 2).mean())
 
         # ---- identity losses on the decoded recon (`:2700-2789`) ----
+        if collect_mode and "vae" in frozen:
+            from adaface_tpu.models.vae import SD_VAE
+
+            collected_px.append(jax.lax.stop_gradient(vae_decode(
+                frozen["vae"], x_recon, rcfg.vae_cfg or SD_VAE)))
         if have_arcface:
             from adaface_tpu.models.vae import SD_VAE
 
             recon_px = vae_decode(frozen["vae"], x_recon,
                                   rcfg.vae_cfg or SD_VAE)
-            fg_bb, det, _conf, bg_bb, bg_val = detect_faces_in_graph(
-                recon_px, detector, rcfg.max_bg_faces)
+            pre = batch.get("recon_face_dets")
+            if pre is not None:
+                idx = len(det_fracs)  # active-step index
+                fg_bb, det = pre["fg"][idx], pre["det"][idx]
+                bg_bb, bg_val = pre["bgb"][idx], pre["bgv"][idx]
+            else:
+                fg_bb, det, _conf, bg_bb, bg_val = detect_faces_in_graph(
+                    recon_px, detector, rcfg.max_bg_faces)
             det = det * batch.get("ref_face_detected", jnp.ones((b,)))
             la, lfg, _ = calc_arcface_align_loss(
                 frozen["arcface"], batch["ref_images"], recon_px,
@@ -326,24 +361,34 @@ def recon_loss_fn_v2(
             scale_steps.append(jnp.float32(1.0))
             fg2 = fg_mask
 
-        # img_mask=None here: blank augmentation pixels ARE regularized as
-        # background (`ddpm.py:2770-2775`)
-        lr, lrc, lmb = calc_recon_and_suppress_losses(
-            noise_i, eps_subj_cfg, eps_cls_cfg, inst_w,
-            cap.get("attn", {}), subj_mask, None, fg2,
-            rcfg.recon_bg_pixel_weight, on_noise)
-        recon_steps.append(lr)
-        recon_cls_steps.append(lrc)
-        mb_steps.append(lmb)
+        if not collect_mode:
+            # img_mask=None here: blank augmentation pixels ARE
+            # regularized as background (`ddpm.py:2770-2775`)
+            lr, lrc, lmb = calc_recon_and_suppress_losses(
+                noise_i, eps_subj_cfg, eps_cls_cfg, inst_w,
+                cap.get("attn", {}), subj_mask, None, fg2,
+                rcfg.recon_bg_pixel_weight, on_noise)
+            recon_steps.append(lr)
+            recon_cls_steps.append(lrc)
+            mb_steps.append(lmb)
 
         # ---- chain to the next step (`:1815-1827`) ----
         if i < s_total - 1:
             t_next = _next_t(t, rand["rel_ts"][i], s_total)
-            if rcfg.do_adv_attack and not on_noise and have_arcface:
+            # NOTE: gated on tower PRESENCE (not have_arcface) so the
+            # collect pass perturbs the trajectory identically
+            if (rcfg.do_adv_attack and not on_noise
+                    and "arcface" in frozen and "vae" in frozen):
                 noise_next_adj = _adv_attacked_noise(
                     frozen, batch, rand, rand["noises"][i + 1], rcfg, hw)
             x = x_recon if on_noise else x_start_in
             t = t_next
+
+    if collect_mode:
+        # phase-A output: decoded recons for host detection; no loss
+        out = {"recon_px": (jnp.stack(collected_px) if collected_px
+                            else jnp.zeros((0,)))}
+        return jnp.float32(0.0), out
 
     # ------------------------------------------------------- aggregation
     arc_scale = 4.0 if on_noise else 1.0  # `:2804-2808`
@@ -427,3 +472,59 @@ def make_recon_loss_fn(rcfg: ReconStepConfig,
                                 rng, rcfg=rcfg, detector=detector)
 
     return loss_fn
+
+
+def detections_to_batch(dets_flat, s_steps: int, b: int,
+                        max_bg: int = 2) -> Params:
+    """Host FaceDetections over [S*B] flattened images → the
+    `recon_face_dets` batch entry ([S, B, ...] device arrays)."""
+    import numpy as np
+
+    return {
+        "fg": jnp.asarray(np.asarray(dets_flat.fg_bboxes)
+                          .reshape(s_steps, b, 4)),
+        "det": jnp.asarray(np.asarray(dets_flat.detected)
+                           .reshape(s_steps, b)),
+        "conf": jnp.asarray(np.asarray(dets_flat.confidences)
+                            .reshape(s_steps, b)),
+        "bgb": jnp.asarray(np.asarray(dets_flat.bg_bboxes)
+                           .reshape(s_steps, b, max_bg, 4)),
+        "bgv": jnp.asarray(np.asarray(dets_flat.bg_valid)
+                           .reshape(s_steps, b, max_bg)),
+    }
+
+
+def make_two_phase_recon_step(rcfg: ReconStepConfig,
+                              detector: HostFaceDetector,
+                              optimizer, frozen: Params,
+                              schedule, cfg: TrainConfig):
+    """The two-phase recon step for backends WITHOUT host-callback
+    support (e.g. the axon PJRT relay rejects pure_callback): a jitted
+    no-grad collect pass returns the decoded recons, the host detects
+    faces, and the jitted train step consumes the precomputed detections.
+    Same math as the single-graph callback mode (verified equal in
+    tests); costs one extra forward denoise (~25-30% of the step)."""
+    from adaface_tpu.train.train_step import (
+        make_frozen_caller, make_train_step)
+
+    collect = make_frozen_caller(
+        lambda frozen_, params, batch, rng: recon_loss_fn_v2(
+            params, frozen_, batch, schedule, cfg, rng, rcfg=rcfg,
+            detector=None, collect_mode=True)[1]["recon_px"],
+        frozen)
+    loss_fn = make_recon_loss_fn(rcfg, None)  # dets come from the batch
+    step = make_train_step(loss_fn, optimizer, frozen, schedule, cfg,
+                           donate=False)
+
+    def run(state, batch, rng):
+        px = collect(state.params, batch, rng)  # [S_active, B, 3, H, W]
+        s_steps, b = px.shape[0], px.shape[1]
+        import numpy as np
+
+        flat = np.asarray(px).reshape(s_steps * b, *px.shape[2:])
+        dets = detector(flat)
+        batch2 = dict(batch, recon_face_dets=detections_to_batch(
+            dets, s_steps, b, detector.max_bg))
+        return step(state, batch2, rng)
+
+    return run

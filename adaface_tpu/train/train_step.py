@@ -368,5 +368,33 @@ def make_train_step(
     return run
 
 
+def make_frozen_caller(fn: Callable, frozen: Params):
+    """Jit `fn(frozen, *args)` with frozen's ARRAY leaves threaded as jit
+    arguments (same rationale as make_train_step: a closure capture would
+    bake the 860M-param stack into the HLO as constants). Non-array
+    leaves stay closed over; `frozen` is re-read per call so UNet weight
+    hot-swaps are picked up."""
+    jtu = jax.tree_util
+    treedef = jtu.tree_structure(frozen)
+    is_arr = [hasattr(l, "shape") and hasattr(l, "dtype")
+              for l in jtu.tree_leaves(frozen)]
+    static_leaves = [None if a else l
+                     for l, a in zip(jtu.tree_leaves(frozen), is_arr)]
+
+    def _rebuild(arrays):
+        it = iter(arrays)
+        return jtu.tree_unflatten(
+            treedef,
+            [next(it) if a else s for a, s in zip(is_arr, static_leaves)])
+
+    jitted = jax.jit(lambda arrays, *args: fn(_rebuild(arrays), *args))
+
+    def run(*args):
+        arrays = [l for l, a in zip(jtu.tree_leaves(frozen), is_arr) if a]
+        return jitted(arrays, *args)
+
+    return run
+
+
 def init_state(trainable: Params, optimizer: optax.GradientTransformation) -> State:
     return State(trainable, optimizer.init(trainable), jnp.zeros((), jnp.int32))

@@ -29,7 +29,10 @@ from adaface_tpu.ops.schedules import DiffusionSchedule
 from adaface_tpu.parallel.mesh import make_mesh, shard_batch
 from adaface_tpu.train.checkpoint import save_adaface_ckpt
 from adaface_tpu.train.comp_step import CompDistillConfig, comp_distill_loss_fn
-from adaface_tpu.train.face_detect import HostFaceDetector
+from adaface_tpu.train.face_detect import (
+    HostFaceDetector,
+    backend_supports_callbacks,
+)
 from adaface_tpu.train.iteration_plan import IterationPlanner
 from adaface_tpu.train.optimizers import make_optimizer
 from adaface_tpu.train.prompt_batch import build_4block_prompt_batch
@@ -227,6 +230,17 @@ class Trainer:
                     on_pure_noise=flags.normal_recon_on_pure_noise,
                     do_adv_attack=flags.do_adv_attack,
                     ffn_adapter=flags.recon_ffn_adapter)
+                if ("arcface" in self.frozen and "vae" in self.frozen
+                        and not backend_supports_callbacks()):
+                    # two-phase detection choreography for PJRT backends
+                    # without host-callback support (the axon relay)
+                    from adaface_tpu.train.recon_step import (
+                        make_two_phase_recon_step)
+
+                    self._steps[key] = make_two_phase_recon_step(
+                        rcfg, self.host_detector, self.optimizer,
+                        self.frozen, self.schedule, self.tcfg)
+                    return self._steps[key]
                 loss_fn = make_recon_loss_fn(rcfg, self.host_detector)
             else:
                 loss_fn = unet_distill_loss_fn

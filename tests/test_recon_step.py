@@ -208,6 +208,37 @@ def test_align_threshold_gates_optimized_term():
     assert float(l_keep) != float(l_gate)
 
 
+def test_two_phase_matches_callback_mode():
+    """collect → host-detect → dets-in-batch must equal the single-graph
+    pure_callback mode exactly (the axon PJRT relay rejects callbacks, so
+    the real chip trains through the two-phase path)."""
+    from adaface_tpu.train.recon_step import detections_to_batch
+
+    frozen, trainable, batch, det = _setup()
+    sched = DiffusionSchedule.create()
+    rcfg = ReconStepConfig(num_denoising_steps=2, vae_cfg=VAE_CFG,
+                           compute_dtype="float32",
+                           recon_face_align_loss_thres=-1.0)
+    rng = jax.random.PRNGKey(0)
+    l1, m1 = recon_loss_fn_v2(trainable, frozen, batch, sched, _cfg(), rng,
+                              rcfg=rcfg, detector=det)
+    _, aux = recon_loss_fn_v2(trainable, frozen, batch, sched, _cfg(), rng,
+                              rcfg=rcfg, detector=None, collect_mode=True)
+    px = aux["recon_px"]
+    assert px.shape[0] == 2  # one decoded recon per active step
+    flat = np.asarray(px).reshape(-1, *px.shape[2:])
+    dets = det(flat)
+    batch2 = dict(batch, recon_face_dets=detections_to_batch(
+        dets, px.shape[0], px.shape[1], det.max_bg))
+    l2, m2 = recon_loss_fn_v2(trainable, frozen, batch2, sched, _cfg(), rng,
+                              rcfg=rcfg, detector=None)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m1["loss_arcface_align_recon"]),
+        float(m2["loss_arcface_align_recon"]), rtol=1e-6)
+    assert float(m2["loss_arcface_align_recon"]) > 0
+
+
 def test_recon_v2_dp_mesh_matches_single_device():
     from adaface_tpu.parallel.mesh import make_mesh, shard_batch
     from adaface_tpu.train.optimizers import make_optimizer
