@@ -11,9 +11,14 @@ string to user prompts (`update_prompt:491-532`), and runs CFG generation
 noised source image) and ada/img embedding mixing for ablations
 (`mix_ada_embs_with_other_embs:629-668`).
 
-Pipeline families other than SD1.5 (SDXL/SD3/Flux) keep the API surface but
-raise NotImplementedError, matching the trained/documented path of the
-reference (SURVEY §7 "what we do not port").
+The SDXL branch ("text2imgxl", `adaface_wrapper.py:126,585-607`) is
+implemented natively (`inference/sdxl_pipeline.py`): ada placeholders
+extend the CLIP-L tokenizer/encoder exactly as in SD1.5, and the plain
+prompt feeds the bigG encoder (`prompt_2 = plain_prompt`). SD3/Flux keep
+the API surface but raise NotImplementedError, matching the
+trained/documented path of the reference (SURVEY §7 "what we do not
+port"; the reference's own flux branch is commented out,
+`adaface_wrapper.py:130`).
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ from adaface_tpu.text.embedding_manager import extend_token_embedding
 
 Params = dict[str, Any]
 
-SUPPORTED_PIPELINES = ("text2img", "img2img", "text2video")
+SUPPORTED_PIPELINES = ("text2img", "img2img", "text2video", "text2imgxl")
 
 
 class AdaFaceWrapper:
@@ -48,13 +53,19 @@ class AdaFaceWrapper:
         motion_cfg=None,  # MotionConfig (defaults to MM_SD15_V2)
         quantize_unet: bool = False,  # int8 PTQ serving mode (ops/quant.py)
     ):
-        if pipeline_name in ("sdxl", "sd3", "flux"):
+        if pipeline_name in ("sd3", "flux"):
             raise NotImplementedError(
                 f"pipeline '{pipeline_name}' keeps API parity but only the "
-                "trained SD1.5 path is implemented")
+                "trained SD1.5 (+SDXL inference) paths are implemented")
+        if pipeline_name == "sdxl":
+            pipeline_name = "text2imgxl"  # reference naming
         assert pipeline_name in SUPPORTED_PIPELINES, pipeline_name
         self.pipeline_name = pipeline_name
-        if pipeline_name == "text2video":
+        if pipeline_name == "text2imgxl":
+            from adaface_tpu.inference.sdxl_pipeline import SDXLPipeline
+
+            self.pipeline = SDXLPipeline(modules, dtype=dtype)
+        elif pipeline_name == "text2video":
             # AdaFace-Animate path: ada tokens condition the motion-module
             # video UNet (`inference/video_pipeline.py`)
             from adaface_tpu.inference.video_pipeline import VideoPipeline
@@ -229,12 +240,26 @@ class AdaFaceWrapper:
         num_frames: int = 16,  # text2video only
     ):
         """→ images [N, 3, H, W] in [0, 1] (text2video: [N, F, 3, H, W])."""
+        plain_prompt = prompt
         if update_prompt:
             prompt = self.update_prompt(prompt)
         gs = guidance_scale if guidance_scale is not None else self.guidance_scale
         steps = (num_inference_steps if num_inference_steps is not None
                  else self.num_inference_steps)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        if self.pipeline_name == "text2imgxl":
+            # placeholders ride encoder 1; bigG sees the plain prompt
+            # (`prompt_2 = plain_prompt`, `adaface_wrapper.py:586`)
+            return self.pipeline(
+                [prompt] * num_images,
+                prompts_2=[plain_prompt] * num_images,
+                negative_prompt=negative_prompt,
+                num_inference_steps=steps,
+                guidance_scale=gs,
+                height=height, width=width,
+                rng=rng,
+            )
 
         if self.pipeline_name == "text2video":
             return self.pipeline(

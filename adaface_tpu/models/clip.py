@@ -50,10 +50,20 @@ class CLIPTextConfig:
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
     eos_token_id: int = 2
+    hidden_act: str = "quick_gelu"  # OpenAI CLIP; laion models use "gelu"
+    projection_dim: int | None = None  # text_projection (no bias), pooled path
 
 
 # OpenCLIP ViT-L/14 (SD1.5 text encoder) is the default text config.
 CLIP_L_TEXT = CLIPTextConfig()
+
+# laion OpenCLIP ViT-bigG/14 text tower (SDXL text_encoder_2): penultimate
+# hidden states feed the UNet context; the projected eos pooled output is
+# the SDXL added text embedding.
+CLIP_BIGG_TEXT = CLIPTextConfig(
+    hidden_size=1280, num_layers=32, num_heads=20, intermediate_size=5120,
+    hidden_act="gelu", projection_dim=1280,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,18 +77,23 @@ class CLIPVisionConfig:
     layer_norm_eps: float = 1e-5
     num_channels: int = 3
     projection_dim: int | None = None
+    hidden_act: str = "quick_gelu"
 
 
 CLIP_L_VISION = CLIPVisionConfig()
-# laion CLIP-ViT-H-14 (ConsistentID image encoder, 1280-d)
+# laion CLIP-ViT-H-14 (ConsistentID image encoder, 1280-d; laion towers
+# use plain gelu, unlike OpenAI's quick_gelu)
 CLIP_H_VISION = CLIPVisionConfig(
     hidden_size=1280, num_layers=32, num_heads=16, intermediate_size=5120,
-    projection_dim=1024,
+    projection_dim=1024, hidden_act="gelu",
 )
 
 
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+_ACTS = {"quick_gelu": quick_gelu, "gelu": jax.nn.gelu}
 
 
 def layer_norm(p: Params, x: jax.Array, eps: float) -> jax.Array:
@@ -145,6 +160,19 @@ def init_text_params(rng: jax.Array, cfg: CLIPTextConfig = CLIP_L_TEXT) -> Param
             for i in range(cfg.num_layers)
         ],
         "final_ln": _init_ln(cfg.hidden_size),
+        **(
+            {
+                "text_projection": {
+                    "w": jax.random.normal(
+                        jax.random.fold_in(ks[0], 7),
+                        (cfg.hidden_size, cfg.projection_dim), jnp.float32,
+                    )
+                    * 0.02
+                }
+            }
+            if cfg.projection_dim is not None
+            else {}
+        ),
     }
 
 
@@ -242,10 +270,11 @@ def _encoder_layer(
     eps: float,
     attn_bias: jax.Array | None,
     causal: bool,
+    act=quick_gelu,
 ) -> jax.Array:
     x = x + _mkv_attention(p["attn"], layer_norm(p["ln1"], x, eps), num_heads, attn_bias, causal)
     h = layer_norm(p["ln2"], x, eps)
-    h = linear(p["mlp"]["fc2"], quick_gelu(linear(p["mlp"]["fc1"], h)))
+    h = linear(p["mlp"]["fc2"], act(linear(p["mlp"]["fc1"], h)))
     return x + h
 
 
@@ -256,11 +285,12 @@ def _run_encoder(
     eps: float,
     attn_bias: jax.Array | None,
     causal: bool,
+    act=quick_gelu,
 ) -> list[jax.Array]:
     """Returns hidden_states list: [embeddings, layer1_out, ..., layerN_out]."""
     states = [x]
     for lp in layers:
-        x = _encoder_layer(lp, x, num_heads, eps, attn_bias, causal)
+        x = _encoder_layer(lp, x, num_heads, eps, attn_bias, causal, act)
         states.append(x)
     return states
 
@@ -300,7 +330,8 @@ def text_encode(
         attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
 
     states = _run_encoder(
-        params["layers"], x, cfg.num_heads, cfg.layer_norm_eps, attn_bias, causal=True
+        params["layers"], x, cfg.num_heads, cfg.layer_norm_eps, attn_bias,
+        causal=True, act=_ACTS[cfg.hidden_act],
     )
     if skip_weights is not None:
         w = jnp.asarray(skip_weights, jnp.float32)
@@ -320,7 +351,14 @@ def text_encode(
         # eos pooling via argmax of token ids (HF eos_token_id==2 legacy path,
         # `arc2face_models.py:313-321`)
         eos_idx = jnp.argmax(input_ids, axis=-1)
-        results["pooled"] = out[jnp.arange(out.shape[0]), eos_idx]
+        pooled = out[jnp.arange(out.shape[0]), eos_idx]
+        results["pooled"] = pooled
+        if "text_projection" in params:
+            # CLIPTextModelWithProjection (SDXL text_encoder_2): bias-free
+            # projection of the eos pooled state
+            results["pooled_proj"] = jnp.einsum(
+                "bd,dp->bp", pooled,
+                params["text_projection"]["w"].astype(pooled.dtype))
     if return_hidden_states:
         results["hidden_states"] = states
     return results
@@ -391,7 +429,8 @@ def vision_encode(
             raise ValueError(f"unknown mask_mode {mask_mode!r}")
 
     states = _run_encoder(
-        params["layers"], x, cfg.num_heads, cfg.layer_norm_eps, attn_bias, causal=False
+        params["layers"], x, cfg.num_heads, cfg.layer_norm_eps, attn_bias,
+        causal=False, act=_ACTS[cfg.hidden_act],
     )
     last = states[-1]
     pooled = layer_norm(params["post_ln"], last[:, 0], cfg.layer_norm_eps)

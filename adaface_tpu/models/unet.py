@@ -66,9 +66,48 @@ class UNetConfig:
     time_embed_dim: int = 1280
     lora_rank: int = 192
     lora_alpha: int = 24  # rank / 8, `set_up_attn_processors` lora_scale_down=8
+    # --- SDXL-family generality (SD1.5 defaults) ---
+    # transformer blocks stacked per spatial-transformer, per down block
+    # (up blocks mirror); entries for attention-free blocks are ignored
+    transformer_depth: tuple = (1, 1, 1, 1)
+    mid_transformer_depth: int = 1
+    # per-down-block head counts (SDXL fixes head_dim=64 so heads vary per
+    # level); None → `num_heads` everywhere
+    block_num_heads: tuple | None = None
+    # "text_time" addition embedding: pooled text emb + fourier(time_ids)
+    # through a 2-layer MLP added to the time embedding. None → disabled.
+    addition_time_embed_dim: int | None = None
+    addition_pooled_dim: int = 1280
+    addition_num_time_ids: int = 6
 
 
 SD15_UNET = UNetConfig()
+
+# SDXL-base UNet (inference family; the trained AdaFace path is SD1.5).
+# Config mirrors stabilityai/stable-diffusion-xl-base-1.0's
+# UNet2DConditionModel: 3 levels, transformer depth (1,2,10), head_dim 64,
+# cross-attn 2048 (CLIP-L 768 ⊕ bigG 1280), text_time addition embedding.
+SDXL_UNET = UNetConfig(
+    block_channels=(320, 640, 1280),
+    down_has_attn=(False, True, True),
+    up_has_attn=(True, True, False),
+    transformer_depth=(1, 2, 10),
+    mid_transformer_depth=10,
+    block_num_heads=(5, 10, 20),
+    cross_attn_dim=2048,
+    addition_time_embed_dim=256,
+)
+
+
+def _block_depth(cfg: UNetConfig, bi: int) -> int:
+    td = cfg.transformer_depth
+    return td[bi] if bi < len(td) else 1
+
+
+def _block_heads(cfg: UNetConfig, bi: int) -> int:
+    if cfg.block_num_heads is None:
+        return cfg.num_heads
+    return cfg.block_num_heads[bi]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -277,14 +316,21 @@ def _init_transformer_block(rng, dim, cross_dim):
     }
 
 
-def _init_transformer2d(rng, c, cross_dim):
-    ks = jax.random.split(rng, 3)
-    return {
+def _init_transformer2d(rng, c, cross_dim, depth: int = 1):
+    ks = jax.random.split(rng, 3 + depth)
+    p = {
         "norm": _init_norm(c),
         "proj_in": _init_conv(ks[0], 1, 1, c, c),
-        "block": _init_transformer_block(ks[1], c, cross_dim),
-        "proj_out": _init_conv(ks[2], 1, 1, c, c),
+        "proj_out": _init_conv(ks[1], 1, 1, c, c),
     }
+    if depth == 1:  # SD1.5 layout (converters/checkpoints use "block")
+        p["block"] = _init_transformer_block(ks[2], c, cross_dim)
+    else:
+        p["blocks"] = [
+            _init_transformer_block(ks[2 + i], c, cross_dim)
+            for i in range(depth)
+        ]
+    return p
 
 
 def init_unet_params(rng: jax.Array, cfg: UNetConfig = SD15_UNET) -> Params:
@@ -311,7 +357,8 @@ def init_unet_params(rng: jax.Array, cfg: UNetConfig = SD15_UNET) -> Params:
             blk["resnets"].append(_init_resnet(next(ks), cin if li == 0 else cout, cout, temb))
             if cfg.down_has_attn[bi]:
                 blk["attentions"].append(
-                    _init_transformer2d(next(ks), cout, cfg.cross_attn_dim)
+                    _init_transformer2d(next(ks), cout, cfg.cross_attn_dim,
+                                        _block_depth(cfg, bi))
                 )
         if bi < len(ch) - 1:
             blk["downsample"] = _init_conv(next(ks), 3, 3, cout, cout)
@@ -320,9 +367,17 @@ def init_unet_params(rng: jax.Array, cfg: UNetConfig = SD15_UNET) -> Params:
     # mid
     p["mid"] = {
         "resnet1": _init_resnet(next(ks), ch[-1], ch[-1], temb),
-        "attention": _init_transformer2d(next(ks), ch[-1], cfg.cross_attn_dim),
+        "attention": _init_transformer2d(next(ks), ch[-1], cfg.cross_attn_dim,
+                                         cfg.mid_transformer_depth),
         "resnet2": _init_resnet(next(ks), ch[-1], ch[-1], temb),
     }
+    if cfg.addition_time_embed_dim is not None:
+        add_in = (cfg.addition_pooled_dim
+                  + cfg.addition_num_time_ids * cfg.addition_time_embed_dim)
+        p["add_embedding"] = {
+            "fc1": _init_dense(next(ks), add_in, temb),
+            "fc2": _init_dense(next(ks), temb, temb),
+        }
     # up blocks (reversed channels)
     rev = list(reversed(ch))  # [1280, 1280, 640, 320]
     for bi in range(len(ch)):
@@ -336,7 +391,8 @@ def init_unet_params(rng: jax.Array, cfg: UNetConfig = SD15_UNET) -> Params:
             blk["resnets"].append(_init_resnet(next(ks), res_in, cout, temb))
             if cfg.up_has_attn[bi]:
                 blk["attentions"].append(
-                    _init_transformer2d(next(ks), cout, cfg.cross_attn_dim)
+                    _init_transformer2d(next(ks), cout, cfg.cross_attn_dim,
+                                        _block_depth(cfg, len(ch) - 1 - bi))
                 )
         if bi < len(ch) - 1:
             blk["upsample"] = _init_conv(next(ks), 3, 3, cout, cout)
@@ -544,9 +600,11 @@ def _cross_attention(
 
 def _transformer2d(
     p, x, context, cfg: UNetConfig, rt: AttnRuntime, kv_mask, img_mask_flat,
-    lora, subj_mask, want_capture, lora_gate=None, tome=None,
+    lora, subj_mask, want_capture, lora_gate=None, tome=None, num_heads=None,
 ):
     b, h, w, c = x.shape
+    if num_heads is None:
+        num_heads = cfg.num_heads
     residual = x
     y = group_norm(p["norm"], x, cfg.norm_groups, cfg.transformer_norm_eps)
     y = conv2d(p["proj_in"], y, padding=0)
@@ -568,33 +626,42 @@ def _transformer2d(
             y, h, w, int(h * w * tome.ratio), tome.sx, tome.sy,
             tome.rand_seed)
 
-    bp = p["block"]
     lora_scale = cfg.lora_alpha / cfg.lora_rank
-    # self-attention (img_mask drops masked keys, `:254-273`)
-    a1, _ = _cross_attention(
-        bp["attn1"], merge(layer_norm(bp["norm1"], y)), None, cfg.num_heads,
-        rt, img_mask_flat, None, None, lora_scale, want_capture=False,
-    )
-    y = y + unmerge(a1)
-    merge_ca = (tome_on and tome.merge_crossattn and not want_capture
-                and not rt.normalize_cross_attn
-                and not rt.mix_attn_mats_in_batch)
-    ca_in = layer_norm(bp["norm2"], y)
-    a2, captured = _cross_attention(
-        bp["attn2"], merge(ca_in) if merge_ca else ca_in, context,
-        cfg.num_heads,
-        rt, kv_mask, lora, subj_mask, lora_scale, want_capture=want_capture,
-        lora_gate=lora_gate,
-    )
-    y = y + (unmerge(a2) if merge_ca else a2)
-    # GEGLU feed-forward
-    ff_in = layer_norm(bp["norm3"], y)
-    if tome_on and tome.merge_mlp:
-        ff_in = merge(ff_in)
-    proj = dense(bp["ff"]["proj_in"], ff_in)
-    val, gate = jnp.split(proj, 2, axis=-1)
-    ff_out = dense(bp["ff"]["proj_out"], val * jax.nn.gelu(gate))
-    y = y + (unmerge(ff_out) if (tome_on and tome.merge_mlp) else ff_out)
+    captured = None
+    # depth>1 (SDXL levels): transformer blocks stack inside one
+    # proj_in/proj_out pair; capture/LoRA semantics (an SD1.5-path feature)
+    # apply to the last inner block
+    blocks = p["blocks"] if "blocks" in p else [p["block"]]
+    for bidx, bp in enumerate(blocks):
+        is_last_inner = bidx == len(blocks) - 1
+        # self-attention (img_mask drops masked keys, `:254-273`)
+        a1, _ = _cross_attention(
+            bp["attn1"], merge(layer_norm(bp["norm1"], y)), None, num_heads,
+            rt, img_mask_flat, None, None, lora_scale, want_capture=False,
+        )
+        y = y + unmerge(a1)
+        merge_ca = (tome_on and tome.merge_crossattn and not want_capture
+                    and not rt.normalize_cross_attn
+                    and not rt.mix_attn_mats_in_batch)
+        ca_in = layer_norm(bp["norm2"], y)
+        a2, cap = _cross_attention(
+            bp["attn2"], merge(ca_in) if merge_ca else ca_in, context,
+            num_heads,
+            rt, kv_mask, lora if is_last_inner else None, subj_mask,
+            lora_scale, want_capture=want_capture and is_last_inner,
+            lora_gate=lora_gate,
+        )
+        if is_last_inner:
+            captured = cap
+        y = y + (unmerge(a2) if merge_ca else a2)
+        # GEGLU feed-forward
+        ff_in = layer_norm(bp["norm3"], y)
+        if tome_on and tome.merge_mlp:
+            ff_in = merge(ff_in)
+        proj = dense(bp["ff"]["proj_in"], ff_in)
+        val, gate = jnp.split(proj, 2, axis=-1)
+        ff_out = dense(bp["ff"]["proj_out"], val * jax.nn.gelu(gate))
+        y = y + (unmerge(ff_out) if (tome_on and tome.merge_mlp) else ff_out)
 
     y = y.reshape(b, h, w, c)
     y = conv2d(p["proj_out"], y, padding=0)
@@ -628,6 +695,7 @@ def unet_apply(
     attn_lora_gate: jax.Array | None = None,  # [B] per-example attn-LoRA gate
     ffn_lora_gate: jax.Array | None = None,  # [B] per-example ffn-LoRA gate
     tome=None,  # ToMeConfig (ops/tome.py) token-merging acceleration
+    added_cond: dict | None = None,  # SDXL: {text_embeds [B,1280], time_ids [B,6]}
 ):
     """Returns (eps [B,4,64,64], captured dict).
 
@@ -672,6 +740,20 @@ def unet_apply(
     temb = timestep_embedding(t, cfg.block_channels[0]).astype(dtype)
     temb = dense(params["time_mlp"]["fc2"],
                  jax.nn.silu(dense(params["time_mlp"]["fc1"], temb)))
+    if cfg.addition_time_embed_dim is not None:
+        # SDXL "text_time" conditioning: per-scalar fourier embedding of the
+        # 6 size/crop time_ids ⊕ the bigG pooled text embedding, through a
+        # 2-layer MLP, added to the time embedding
+        tids = added_cond["time_ids"]  # [B, 6]
+        four = timestep_embedding(
+            tids.reshape(-1), cfg.addition_time_embed_dim
+        ).reshape(tids.shape[0], -1)
+        add_in = jnp.concatenate(
+            [added_cond["text_embeds"].astype(jnp.float32), four], axis=-1
+        ).astype(dtype)
+        aug = dense(params["add_embedding"]["fc2"],
+                    jax.nn.silu(dense(params["add_embedding"]["fc1"], add_in)))
+        temb = temb + aug
 
     ffn_ad = None
     if rt.use_ffn_lora and ffn_lora is not None and rt.ffn_adapter is not None:
@@ -689,7 +771,8 @@ def unet_apply(
             if cfg.down_has_attn[bi]:
                 h, _ = _transformer2d(
                     blk["attentions"][li], h, context, cfg, rt, kv_mask, im,
-                    None, subj_mask, want_capture=False, tome=tome)
+                    None, subj_mask, want_capture=False, tome=tome,
+                    num_heads=_block_heads(cfg, bi))
             if motion is not None:
                 h = temporal(motion["down"][bi][li], h)
             skips.append(h)
@@ -702,7 +785,8 @@ def unet_apply(
         h = _resnet(params["mid"]["resnet1"], h, temb, cfg)
         h, _ = _transformer2d(params["mid"]["attention"], h, context, cfg,
                               rt, kv_mask, im, None, subj_mask,
-                              want_capture=False, tome=tome)
+                              want_capture=False, tome=tome,
+                              num_heads=_block_heads(cfg, len(cfg.block_channels) - 1))
         if motion is not None:
             h = temporal(motion["mid"], h)
         h = _resnet(params["mid"]["resnet2"], h, temb, cfg)
@@ -739,7 +823,8 @@ def unet_apply(
                 h, cap = _transformer2d(
                     blk["attentions"][li], h, context, cfg, rt, kv_mask, im,
                     layer_lora, subj_mask, want_capture=want_cap,
-                    lora_gate=attn_lora_gate, tome=tome)
+                    lora_gate=attn_lora_gate, tome=tome,
+                    num_heads=_block_heads(cfg, n_up - 1 - bi))
                 if want_cap:
                     label = CAPTURE_LAYER_BASE + li
                     for k, val in (cap or {}).items():

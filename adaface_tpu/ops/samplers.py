@@ -367,3 +367,59 @@ def lcm_sample(
         else:
             x = denoised
     return x.astype(x_T.dtype)
+
+
+def euler_sample(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    x_T: jax.Array,
+    cond_ctx,
+    uncond_ctx=None,
+    cfg: DDIMConfig = DDIMConfig(),
+) -> jax.Array:
+    """Euler discrete sampler (`EulerDiscreteScheduler` semantics, the SDXL
+    pipeline's default which the reference keeps for `text2imgxl`:
+    `adaface_wrapper.py:234` skips the DDIM swap for SDXL/SD3/Flux).
+
+    ε-prediction: sigma_i = sqrt((1-ᾱ)/ᾱ); x_{i+1} = x_i + ε·(σ_{i+1}-σ_i),
+    with model inputs scaled by 1/sqrt(σ²+1) and x_T pre-scaled by
+    `init_noise_sigma = sqrt(σ_max²+1)` (leading spacing). Dual-scale CFG
+    interpolation follows `guidance_scales`.
+    """
+    ts = ddim_timesteps(
+        schedule.num_timesteps, cfg.num_inference_steps,
+        steps_offset=cfg.steps_offset, spacing=cfg.spacing,
+    )
+    ac = np.asarray(schedule.alphas_cumprod)
+    sigmas = np.sqrt((1.0 - ac[ts]) / ac[ts])  # descending with the loop
+    sigma_next = np.append(sigmas[1:], 0.0)
+    scales = guidance_scales(cfg)
+    b = x_T.shape[0]
+    use_cfg = uncond_ctx is not None
+    if use_cfg:
+        both_ctx = jax.tree_util.tree_map(
+            lambda u, c: jnp.concatenate([u, c], axis=0), uncond_ctx, cond_ctx
+        )
+    else:
+        both_ctx = cond_ctx
+
+    x0 = x_T.astype(jnp.float32) * jnp.sqrt(jnp.float32(sigmas[0]) ** 2 + 1.0)
+
+    def step(x, inp):
+        t, sig, sig_next, scale = inp
+        x_in = (x / jnp.sqrt(sig**2 + 1.0)).astype(x_T.dtype)
+        tb = jnp.full((b,), t, jnp.int32)
+        if use_cfg:
+            eps2 = model_fn(jnp.concatenate([x_in, x_in], axis=0),
+                            jnp.concatenate([tb, tb], axis=0), both_ctx)
+            eps_u, eps_c = jnp.split(eps2.astype(jnp.float32), 2, axis=0)
+            eps = eps_u + scale * (eps_c - eps_u)
+        else:
+            eps = model_fn(x_in, tb, both_ctx).astype(jnp.float32)
+        return x + eps * (sig_next - sig), None
+
+    out, _ = jax.lax.scan(
+        step, x0,
+        (jnp.asarray(ts, jnp.int32), jnp.asarray(sigmas, jnp.float32),
+         jnp.asarray(sigma_next, jnp.float32), scales))
+    return out.astype(x_T.dtype)

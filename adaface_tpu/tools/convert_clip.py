@@ -63,10 +63,14 @@ def _num_layers(sd, stem: str) -> int:
 def convert_text_model(
     sd: Mapping[str, np.ndarray], prefix: str = "text_model.",
     num_heads: int | None = None,
+    hidden_act: str = "quick_gelu",
 ) -> tuple[dict, CLIPTextConfig]:
     """HF CLIPTextModel state dict → (params, config). num_heads can't be
     recovered from weight shapes; defaults to head_dim 64 (every shipped
-    CLIP text tower) — pass explicitly for nonstandard models."""
+    CLIP text tower) — pass explicitly for nonstandard models. A top-level
+    `text_projection.weight` (CLIPTextModelWithProjection, e.g. SDXL's
+    bigG tower — pass hidden_act="gelu" for laion models) is carried into
+    the params as the bias-free pooled projection."""
     tok = np.asarray(sd[f"{prefix}embeddings.token_embedding.weight"])
     pos = np.asarray(sd[f"{prefix}embeddings.position_embedding.weight"])
     stem = f"{prefix}encoder"
@@ -74,6 +78,11 @@ def convert_text_model(
     d = tok.shape[1]
     fc1 = np.asarray(sd[f"{stem}.layers.0.mlp.fc1.weight"])
     q0 = np.asarray(sd[f"{stem}.layers.0.self_attn.q_proj.weight"])
+    proj = None
+    for key in ("text_projection.weight", f"{prefix}text_projection.weight"):
+        if key in sd:
+            proj = np.asarray(sd[key])
+            break
     cfg = CLIPTextConfig(
         vocab_size=tok.shape[0],
         hidden_size=d,
@@ -81,6 +90,8 @@ def convert_text_model(
         num_heads=num_heads if num_heads is not None else max(d // 64, 1),
         intermediate_size=fc1.shape[0],
         max_position_embeddings=pos.shape[0],
+        hidden_act=hidden_act,
+        projection_dim=None if proj is None else proj.shape[0],
     )
     params = {
         "token_embedding": jnp.asarray(tok),
@@ -90,6 +101,8 @@ def convert_text_model(
         ],
         "final_ln": _ln(sd, f"{prefix}final_layer_norm"),
     }
+    if proj is not None:
+        params["text_projection"] = {"w": jnp.asarray(proj.T.copy())}
     return params, cfg
 
 

@@ -75,24 +75,46 @@ def _unet_attention(sd, p):
     return out
 
 
-def _unet_transformer(sd, p):
-    b = f"{p}.transformer_blocks.0"
+def _proj_conv(sd, p):
+    """proj_in/proj_out: 1×1 conv, or linear when the model uses
+    use_linear_projection (SDXL) — stored uniformly as 1×1 conv."""
+    w = np.asarray(sd[f"{p}.weight"])
+    if w.ndim == 2:  # [O, I] linear → [1, 1, I, O]
+        return {"w": jnp.asarray(w.T[None, None].copy()),
+                "b": jnp.asarray(sd[f"{p}.bias"])}
+    return _conv(sd, p)
+
+
+def _unet_transformer_block(sd, b):
     return {
-        "norm": _norm(sd, f"{p}.norm"),
-        "proj_in": _conv(sd, f"{p}.proj_in"),
-        "block": {
-            "norm1": _norm(sd, f"{b}.norm1"),
-            "attn1": _unet_attention(sd, f"{b}.attn1"),
-            "norm2": _norm(sd, f"{b}.norm2"),
-            "attn2": _unet_attention(sd, f"{b}.attn2"),
-            "norm3": _norm(sd, f"{b}.norm3"),
-            "ff": {
-                "proj_in": _dense(sd, f"{b}.ff.net.0.proj"),
-                "proj_out": _dense(sd, f"{b}.ff.net.2"),
-            },
+        "norm1": _norm(sd, f"{b}.norm1"),
+        "attn1": _unet_attention(sd, f"{b}.attn1"),
+        "norm2": _norm(sd, f"{b}.norm2"),
+        "attn2": _unet_attention(sd, f"{b}.attn2"),
+        "norm3": _norm(sd, f"{b}.norm3"),
+        "ff": {
+            "proj_in": _dense(sd, f"{b}.ff.net.0.proj"),
+            "proj_out": _dense(sd, f"{b}.ff.net.2"),
         },
-        "proj_out": _conv(sd, f"{p}.proj_out"),
     }
+
+
+def _unet_transformer(sd, p):
+    depth = 0
+    while f"{p}.transformer_blocks.{depth}.norm1.weight" in sd:
+        depth += 1
+    out = {
+        "norm": _norm(sd, f"{p}.norm"),
+        "proj_in": _proj_conv(sd, f"{p}.proj_in"),
+        "proj_out": _proj_conv(sd, f"{p}.proj_out"),
+    }
+    blocks = [_unet_transformer_block(sd, f"{p}.transformer_blocks.{i}")
+              for i in range(depth)]
+    if depth == 1:
+        out["block"] = blocks[0]
+    else:
+        out["blocks"] = blocks
+    return out
 
 
 def convert_unet(sd: Mapping[str, np.ndarray], cfg: UNetConfig = SD15_UNET) -> dict:
@@ -122,6 +144,11 @@ def convert_unet(sd: Mapping[str, np.ndarray], cfg: UNetConfig = SD15_UNET) -> d
         "attention": _unet_transformer(sd, "mid_block.attentions.0"),
         "resnet2": _unet_resnet(sd, "mid_block.resnets.1"),
     }
+    if "add_embedding.linear_1.weight" in sd:  # SDXL text_time conditioning
+        params["add_embedding"] = {
+            "fc1": _dense(sd, "add_embedding.linear_1"),
+            "fc2": _dense(sd, "add_embedding.linear_2"),
+        }
     for bi in range(len(cfg.block_channels)):
         blk = {"resnets": [], "attentions": []}
         for li in range(cfg.layers_per_block + 1):
@@ -169,14 +196,16 @@ def export_unet_to_diffusers(params: dict, cfg: UNetConfig = SD15_UNET) -> dict:
     def put_transformer(prefix, p):
         put_norm(f"{prefix}.norm", p["norm"])
         put_conv(f"{prefix}.proj_in", p["proj_in"])
-        b = f"{prefix}.transformer_blocks.0"
-        put_norm(f"{b}.norm1", p["block"]["norm1"])
-        put_attn(f"{b}.attn1", p["block"]["attn1"])
-        put_norm(f"{b}.norm2", p["block"]["norm2"])
-        put_attn(f"{b}.attn2", p["block"]["attn2"])
-        put_norm(f"{b}.norm3", p["block"]["norm3"])
-        put_dense(f"{b}.ff.net.0.proj", p["block"]["ff"]["proj_in"])
-        put_dense(f"{b}.ff.net.2", p["block"]["ff"]["proj_out"])
+        blocks = p["blocks"] if "blocks" in p else [p["block"]]
+        for i, blk in enumerate(blocks):
+            b = f"{prefix}.transformer_blocks.{i}"
+            put_norm(f"{b}.norm1", blk["norm1"])
+            put_attn(f"{b}.attn1", blk["attn1"])
+            put_norm(f"{b}.norm2", blk["norm2"])
+            put_attn(f"{b}.attn2", blk["attn2"])
+            put_norm(f"{b}.norm3", blk["norm3"])
+            put_dense(f"{b}.ff.net.0.proj", blk["ff"]["proj_in"])
+            put_dense(f"{b}.ff.net.2", blk["ff"]["proj_out"])
         put_conv(f"{prefix}.proj_out", p["proj_out"])
 
     put_conv("conv_in", params["conv_in"])
@@ -192,6 +221,9 @@ def export_unet_to_diffusers(params: dict, cfg: UNetConfig = SD15_UNET) -> dict:
     put_resnet("mid_block.resnets.0", params["mid"]["resnet1"])
     put_transformer("mid_block.attentions.0", params["mid"]["attention"])
     put_resnet("mid_block.resnets.1", params["mid"]["resnet2"])
+    if "add_embedding" in params:
+        put_dense("add_embedding.linear_1", params["add_embedding"]["fc1"])
+        put_dense("add_embedding.linear_2", params["add_embedding"]["fc2"])
     for bi, blk in enumerate(params["up_blocks"]):
         for li, res in enumerate(blk["resnets"]):
             put_resnet(f"up_blocks.{bi}.resnets.{li}", res)

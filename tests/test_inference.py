@@ -109,8 +109,11 @@ def test_wrapper_img2img(modules):
 
 
 def test_wrapper_rejects_unimplemented_pipelines(modules):
-    with pytest.raises(NotImplementedError):
-        AdaFaceWrapper("sdxl", modules, None)
+    # sdxl graduated to a real implementation (tests/test_sdxl.py);
+    # sd3/flux keep the API surface but stay unimplemented (SURVEY §7)
+    for name in ("sd3", "flux"):
+        with pytest.raises(NotImplementedError):
+            AdaFaceWrapper(name, modules, None)
 
 
 def test_pipeline_unet_ensemble(modules):
