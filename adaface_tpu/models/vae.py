@@ -53,12 +53,15 @@ SD_VAE = VAEConfig()
 def _conv(p, x, stride=1, padding=1):
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    # NOTE: no preferred_element_type — lax.conv's transpose rule can't mix
+    # an f32 cotangent with bf16 operands (breaks jax.grad through the
+    # bf16 in-loss decode; same constraint as models/unet.py conv2d). The
+    # MXU still accumulates bf16 convs in f32 internally.
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return (y + p["b"]).astype(x.dtype)
+    return (y + p["b"].astype(x.dtype))
 
 
 def _gn(p, x, groups, eps, silu=False):

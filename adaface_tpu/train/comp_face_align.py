@@ -296,11 +296,25 @@ def comp_identity_losses(
     unet_cfg,
     schedule,
     comp_cfg,
+    stage: str = "full",
 ) -> tuple[jax.Array, Params, Params]:
     """→ (loss_contrib, aux, metrics). aux carries the per-step gates and
     masks the main comp loss assembly needs:
     {sc_fg_mask_percent, fg_bg_step_gates [S], ss_bboxes_per_step [S,B,4],
      sc_fg_face_bboxes [B,4], sc_fg_mask, shrink_ratio, first_detected_ok}.
+
+    `stage` drives the callback-less three-phase choreography for PJRT
+    backends without host-callback support (the axon relay — same
+    constraint as recon's `make_two_phase_recon_step`, but the comp
+    family has a detection→redenoise→detection dependency chain):
+    - "collect1": stop after decoding — aux = {"comp_px": {ssmc, sc}}
+      for host detection; no callbacks in the graph.
+    - "collect2": round-1 detections ride in `batch["comp_face_dets"]`;
+      run the crop-mix SS re-denoise and return its decoded pixels
+      (aux = {"ss2_px"}) for the second host detection.
+    - "full": run everything; detections come from the callbacks when
+      `detector` is given, else entirely from `batch["comp_face_dets"]`
+      (keys ssmc_fg/det/conf, sc_fg/det/bgb/bgv, ss2_fg/det/conf).
     """
     s_steps = len(x_recons)
     b4 = x_recons[0].shape[0]
@@ -309,18 +323,36 @@ def comp_identity_losses(
     vae_cfg = comp_cfg.vae_cfg or SD_VAE
     w_arc = comp_cfg.arcface_align_loss_weight
     metrics: Params = {}
+    dets = batch.get("comp_face_dets")
+    # decodes in the step's compute dtype (reference fp16-autocasts this
+    # region); losses and detection see f32
+    dt = jnp.dtype(comp_cfg.compute_dtype)
+
+    def decode(z):
+        return vae_decode(frozen["vae"], z.astype(dt),
+                          vae_cfg).astype(jnp.float32)
 
     # ---- decode + detect: SS all steps, MC last step (one callback) ----
     ss_lat = jnp.concatenate([jax.lax.stop_gradient(x_recons[s][:b])
                               for s in range(s_steps)], axis=0)
     mc_lat = jax.lax.stop_gradient(x_recons[-1][3 * b:])
-    ssmc_px = vae_decode(frozen["vae"],
-                         jnp.concatenate([ss_lat, mc_lat], axis=0), vae_cfg)
+    ssmc_px = decode(jnp.concatenate([ss_lat, mc_lat], axis=0))
     ss_px = ssmc_px[:s_steps * b]
     mc_px = ssmc_px[s_steps * b:]
     px = ss_px.shape[-1]
-    fg_bb_all, det_all, conf_all, _, _ = detect_faces_in_graph(
-        ssmc_px, detector, comp_cfg.max_bg_faces)
+    if stage == "collect1":
+        sc_px_steps = jnp.stack([
+            decode(jax.lax.stop_gradient(x_recons[s][b:2 * b]))
+            for s in range(s_steps)])
+        aux = {"comp_px": {"ssmc": ssmc_px, "sc": sc_px_steps}}
+        return jnp.float32(0.0), aux, metrics
+    if dets is not None:
+        fg_bb_all = dets["ssmc_fg"]
+        det_all = dets["ssmc_det"]
+        conf_all = dets["ssmc_conf"]
+    else:
+        fg_bb_all, det_all, conf_all, _, _ = detect_faces_in_graph(
+            ssmc_px, detector, comp_cfg.max_bg_faces)
     ss_bb = fg_bb_all[:s_steps * b].reshape(s_steps, b, 4)
     ss_det = det_all[:s_steps * b].reshape(s_steps, b)
     ss_conf = conf_all[:s_steps * b].reshape(s_steps, b)
@@ -337,9 +369,21 @@ def comp_identity_losses(
     la_steps, lfg_steps, lbg_steps, lbg_any = [], [], [], []
     g_any_steps, sc_bb_lat_steps = [], []
     for s in range(s_steps):
-        sc_px = vae_decode(frozen["vae"], x_recons[s][b:2 * b], vae_cfg)
-        sc_fg_bb, sc_det, _, sc_bgbb, sc_bgv = detect_faces_in_graph(
-            sc_px, detector, comp_cfg.max_bg_faces)
+        # remat: the SC block carries gradients through the decode into
+        # the arcface losses; storing decoder activations for the bwd
+        # OOMs HBM at 512² (same fix as recon_step's identity decode)
+        sc_px = jax.checkpoint(
+            lambda p, z: vae_decode(p, z.astype(dt),
+                                    vae_cfg).astype(jnp.float32))(
+                frozen["vae"], x_recons[s][b:2 * b])
+        if dets is not None:
+            sc_fg_bb = dets["sc_fg"][s]
+            sc_det = dets["sc_det"][s]
+            sc_bgbb = dets["sc_bgb"][s]
+            sc_bgv = dets["sc_bgv"][s]
+        else:
+            sc_fg_bb, sc_det, _, sc_bgbb, sc_bgv = detect_faces_in_graph(
+                sc_px, detector, comp_cfg.max_bg_faces)
         det = sc_det * batch.get("ref_face_detected", jnp.ones((b,)))
         la, lfg, _ = calc_arcface_align_loss(
             frozen["arcface"], batch["ref_images"][:b], sc_px,
@@ -473,9 +517,15 @@ def comp_identity_losses(
 
     # round-2 detection + quality gates (`:2179-2260`)
     ss2_lat = jnp.concatenate(recons2, axis=0)
-    ss2_px = vae_decode(frozen["vae"], ss2_lat, vae_cfg)
-    ss2_bb, ss2_det, ss2_conf, _, _ = detect_faces_in_graph(
-        ss2_px, detector, comp_cfg.max_bg_faces)
+    ss2_px = decode(ss2_lat)
+    if stage == "collect2":
+        return jnp.float32(0.0), {"ss2_px": ss2_px}, metrics
+    if dets is not None and "ss2_fg" in dets:
+        ss2_bb, ss2_det, ss2_conf = (dets["ss2_fg"], dets["ss2_det"],
+                                     dets["ss2_conf"])
+    else:
+        ss2_bb, ss2_det, ss2_conf, _, _ = detect_faces_in_graph(
+            ss2_px, detector, comp_cfg.max_bg_faces)
     ss2_bb_st = ss2_bb.reshape(s_steps, b, 4)
     ss2_det_st = ss2_det.reshape(s_steps, b)
     ss2_conf_st = ss2_conf.reshape(s_steps, b)

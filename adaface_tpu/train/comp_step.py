@@ -446,8 +446,17 @@ def comp_distill_loss_fn(
     rng: jax.Array,
     comp_cfg: CompDistillConfig = CompDistillConfig(),
     detector=None,  # HostFaceDetector for detection-on-recons
+    stage: str = "full",  # full | collect1 | collect2 (3-phase, see below)
 ):
     """Full comp-distill iteration loss.
+
+    `stage` implements the callback-less three-phase choreography for
+    backends rejecting host callbacks (the axon relay): "collect1" returns
+    the decoded SS/SC/MC pixels in the metrics ("comp_px"), "collect2"
+    consumes round-1 detections from `batch["comp_face_dets"]` and returns
+    the redenoised-SS pixels ("ss2_px"), and "full" with both detection
+    sets in the batch replaces every callback
+    (`make_three_phase_comp_step`).
 
     batch: img_prompt_embs [B,K,D]; prompt_ids/splice_map/prompt_emb_mask/
     prompt_pad_mask [5B,…] ([ss ‖ sc ‖ sc_rep ‖ cs ‖ cc] blocks);
@@ -513,7 +522,8 @@ def comp_distill_loss_fn(
 
     # ---- identity-loss family on decoded recons (`ddpm.py:3225-3464`) ----
     have_face = ("arcface" in frozen and "vae" in frozen
-                 and detector is not None
+                 and (detector is not None or "comp_face_dets" in batch
+                      or stage != "full")
                  and comp_cfg.arcface_align_loss_weight > 0
                  and "ref_images" in batch)
     if have_face:
@@ -531,7 +541,10 @@ def comp_distill_loss_fn(
             frozen, detector, x_recons, x_inputs, rand["den_noises"], ts,
             captured_steps, ctx["ss"], ctx["uncond"], subj_mask_1b,
             batch_f, trainable.get("attn_lora"), trainable.get("ffn_lora"),
-            cfg.unet, schedule, comp_cfg)
+            cfg.unet, schedule, comp_cfg, stage=stage)
+        if stage != "full":
+            # collect phases: the pixel outputs ride in the metrics slot
+            return jnp.float32(0.0), aux
         loss = loss + id_loss
         metrics.update(id_metrics)
         captured_steps = aux["captured_steps"]
@@ -639,3 +652,98 @@ def comp_distill_loss_fn(
     metrics["loss_prompt_emb_delta"] = loss_delta
     metrics["loss"] = loss
     return loss, metrics
+
+
+# ---------------------------------------------------------------------------
+# three-phase detection choreography (callback-less backends)
+# ---------------------------------------------------------------------------
+
+
+def comp_detections_to_batch(d_ssmc, d_sc, d_ss2, s_steps: int, b: int,
+                             max_bg: int = 2) -> Params:
+    """Host FaceDetections → the `comp_face_dets` batch entry.
+
+    d_ssmc: detections over the [S·B + B] flattened SS-all-steps ‖ MC-last
+    pixels; d_sc: over the [S·B] flattened per-step SC pixels; d_ss2
+    (optional, None before phase 2): over the [S·B] redenoised SS pixels.
+    """
+    import numpy as np
+
+    out = {
+        "ssmc_fg": jnp.asarray(np.asarray(d_ssmc.fg_bboxes)),
+        "ssmc_det": jnp.asarray(np.asarray(d_ssmc.detected)),
+        "ssmc_conf": jnp.asarray(np.asarray(d_ssmc.confidences)),
+        "sc_fg": jnp.asarray(
+            np.asarray(d_sc.fg_bboxes).reshape(s_steps, b, 4)),
+        "sc_det": jnp.asarray(np.asarray(d_sc.detected).reshape(s_steps, b)),
+        "sc_bgb": jnp.asarray(
+            np.asarray(d_sc.bg_bboxes)[:, :max_bg].reshape(
+                s_steps, b, max_bg, 4)),
+        "sc_bgv": jnp.asarray(
+            np.asarray(d_sc.bg_valid)[:, :max_bg].reshape(
+                s_steps, b, max_bg)),
+    }
+    if d_ss2 is not None:
+        out["ss2_fg"] = jnp.asarray(np.asarray(d_ss2.fg_bboxes))
+        out["ss2_det"] = jnp.asarray(np.asarray(d_ss2.detected))
+        out["ss2_conf"] = jnp.asarray(np.asarray(d_ss2.confidences))
+    return out
+
+
+def make_three_phase_comp_step(comp_cfg: CompDistillConfig, detector,
+                               optimizer, frozen: Params, schedule,
+                               cfg: TrainConfig):
+    """Comp-distill step for backends WITHOUT host-callback support (the
+    axon PJRT relay rejects `pure_callback`, probed by
+    `backend_supports_callbacks`). The comp identity family has a
+    detection→redenoise→detection dependency chain, so unlike recon's
+    two phases it needs three:
+
+    1. collect1 (jit, no grad): denoise → decoded SS/SC/MC pixels;
+    2. host detection round 1;
+    3. collect2 (jit, no grad): SC-crop-mixed SS re-denoise using round-1
+       bboxes → decoded redenoised-SS pixels;
+    4. host detection round 2;
+    5. train (jit, fwd+bwd): the full loss graph consuming both
+       detection sets as batch data.
+
+    The denoise trajectories are recomputed identically in each phase
+    from the same rng (all randomness is pre-sampled or rng-derived), so
+    the math matches the single-graph callback mode —
+    `tests/test_comp_three_phase.py` asserts equality.
+    """
+    from adaface_tpu.train.train_step import (make_frozen_caller,
+                                              make_train_step)
+
+    collect1 = make_frozen_caller(
+        lambda frozen_, params, batch, rng: comp_distill_loss_fn(
+            params, frozen_, batch, schedule, cfg, rng, comp_cfg=comp_cfg,
+            detector=None, stage="collect1")[1]["comp_px"], frozen)
+    collect2 = make_frozen_caller(
+        lambda frozen_, params, batch, rng: comp_distill_loss_fn(
+            params, frozen_, batch, schedule, cfg, rng, comp_cfg=comp_cfg,
+            detector=None, stage="collect2")[1]["ss2_px"], frozen)
+    loss_fn = lambda *a: comp_distill_loss_fn(  # noqa: E731
+        *a, comp_cfg=comp_cfg, detector=None)
+    step = make_train_step(loss_fn, optimizer, frozen, schedule, cfg,
+                           donate=False)
+    max_bg = comp_cfg.max_bg_faces
+
+    def run(state, batch, rng):
+        import numpy as np
+
+        px = collect1(state.params, batch, rng)
+        ssmc = np.asarray(px["ssmc"])
+        sc = np.asarray(px["sc"])  # [S, B, 3, H, W]
+        s_steps, b = sc.shape[0], sc.shape[1]
+        d_ssmc = detector(ssmc)
+        d_sc = detector(sc.reshape(s_steps * b, *sc.shape[2:]))
+        batch2 = dict(batch, comp_face_dets=comp_detections_to_batch(
+            d_ssmc, d_sc, None, s_steps, b, max_bg))
+        ss2 = np.asarray(collect2(state.params, batch2, rng))
+        d_ss2 = detector(ss2)
+        batch3 = dict(batch, comp_face_dets=comp_detections_to_batch(
+            d_ssmc, d_sc, d_ss2, s_steps, b, max_bg))
+        return step(state, batch3, rng)
+
+    return run

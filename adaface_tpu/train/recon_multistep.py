@@ -94,7 +94,10 @@ def calc_arcface_adv_grad(
     vae_cfg = vae_cfg or SD_VAE
 
     def self_align_loss(x):
-        img = vae_decode(vae_params, x, vae_cfg)
+        # remat the decode: jax.grad of this fn otherwise stores the full
+        # decoder activation stack (OOMs a v5e at 512² bs4)
+        img = jax.checkpoint(
+            lambda p, z: vae_decode(p, z, vae_cfg))(vae_params, x)
         emb, _ = embed_face_crops(arcface_params, img, pixel_bboxes,
                                   (0.9, 0.9))
         keep = jax.random.bernoulli(rng, 1.0 - dropout_p, emb.shape)

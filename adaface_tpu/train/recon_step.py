@@ -311,16 +311,25 @@ def recon_loss_fn_v2(
         pred_l2s.append((eps_subj_cfg.astype(jnp.float32) ** 2).mean())
 
         # ---- identity losses on the decoded recon (`:2700-2789`) ----
+        # loss decodes run in the step's compute dtype (the reference
+        # autocasts this region to fp16, `ddpm.py:4225`); losses see f32
         if collect_mode and "vae" in frozen:
             from adaface_tpu.models.vae import SD_VAE
 
             collected_px.append(jax.lax.stop_gradient(vae_decode(
-                frozen["vae"], x_recon, rcfg.vae_cfg or SD_VAE)))
+                frozen["vae"], x_recon.astype(dt),
+                rcfg.vae_cfg or SD_VAE).astype(jnp.float32)))
         if have_arcface:
             from adaface_tpu.models.vae import SD_VAE
 
-            recon_px = vae_decode(frozen["vae"], x_recon,
-                                  rcfg.vae_cfg or SD_VAE)
+            # remat: the decoder's activations (512²·128ch temps) would
+            # otherwise be stored for the backward pass — that alone OOMs
+            # a v5e-16GB at bs4; recompute them in the bwd instead
+            recon_px = jax.checkpoint(
+                lambda p, z: vae_decode(
+                    p, z.astype(dt),
+                    rcfg.vae_cfg or SD_VAE).astype(jnp.float32)
+            )(frozen["vae"], x_recon)
             pre = batch.get("recon_face_dets")
             if pre is not None:
                 idx = len(det_fracs)  # active-step index

@@ -222,6 +222,17 @@ class Trainer:
                 ccfg = _dc.replace(self.comp_cfg,
                                    num_priming_steps=flags.num_priming_steps)
                 det = self.host_detector
+                if ("arcface" in self.frozen and "vae" in self.frozen
+                        and not backend_supports_callbacks()):
+                    # three-phase detection choreography (detect →
+                    # redenoise → detect) for callback-less backends
+                    from adaface_tpu.train.comp_step import (
+                        make_three_phase_comp_step)
+
+                    self._steps[key] = make_three_phase_comp_step(
+                        ccfg, det, self.optimizer, self.frozen,
+                        self.schedule, self.tcfg)
+                    return self._steps[key]
                 loss_fn = lambda *a: comp_distill_loss_fn(  # noqa: E731
                     *a, comp_cfg=ccfg, detector=det)
             elif iter_type == "recon":

@@ -246,7 +246,7 @@ def phase_train():
     t_detect = float(data["detect_time"])
     total = t_train + t_collect + t_detect
     sps = 1.0 / total
-    print(json.dumps({
+    result = {
         "metric": "recon_train_step_throughput",
         "value": round(sps, 4),
         "unit": f"steps/sec/chip@bs{BATCH} (2-step denoise + identity loss,"
@@ -255,7 +255,15 @@ def phase_train():
         "collect_sec": round(t_collect, 3),
         "detect_sec": round(t_detect, 4),
         "vs_ref_per_gpu": round(sps / REF_STEPS_PER_SEC_PER_GPU, 2),
-    }))
+    }
+    print(json.dumps(result))
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "BENCH_train.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:
+        print(f"# could not write {out_path}: {e}", file=sys.stderr)
 
 
 def phase_legacy():
