@@ -35,7 +35,8 @@ from adaface_tpu.text.embedding_manager import extend_token_embedding
 
 Params = dict[str, Any]
 
-SUPPORTED_PIPELINES = ("text2img", "img2img", "text2video", "text2imgxl")
+SUPPORTED_PIPELINES = ("text2img", "img2img", "text2video", "text2imgxl",
+                       "text2img3")
 
 
 class AdaFaceWrapper:
@@ -53,18 +54,24 @@ class AdaFaceWrapper:
         motion_cfg=None,  # MotionConfig (defaults to MM_SD15_V2)
         quantize_unet: bool = False,  # int8 PTQ serving mode (ops/quant.py)
     ):
-        if pipeline_name in ("sd3", "flux"):
+        if pipeline_name == "flux":
             raise NotImplementedError(
-                f"pipeline '{pipeline_name}' keeps API parity but only the "
-                "trained SD1.5 (+SDXL inference) paths are implemented")
-        if pipeline_name == "sdxl":
-            pipeline_name = "text2imgxl"  # reference naming
+                "the flux pipeline keeps API parity but is unimplemented "
+                "(commented out in the reference too, "
+                "`adaface_wrapper.py:130`)")
+        # reference naming aliases
+        pipeline_name = {"sdxl": "text2imgxl",
+                         "sd3": "text2img3"}.get(pipeline_name, pipeline_name)
         assert pipeline_name in SUPPORTED_PIPELINES, pipeline_name
         self.pipeline_name = pipeline_name
         if pipeline_name == "text2imgxl":
             from adaface_tpu.inference.sdxl_pipeline import SDXLPipeline
 
             self.pipeline = SDXLPipeline(modules, dtype=dtype)
+        elif pipeline_name == "text2img3":
+            from adaface_tpu.inference.sd3_pipeline import SD3Pipeline
+
+            self.pipeline = SD3Pipeline(modules, dtype=dtype)
         elif pipeline_name == "text2video":
             # AdaFace-Animate path: ada tokens condition the motion-module
             # video UNet (`inference/video_pipeline.py`)
@@ -248,9 +255,9 @@ class AdaFaceWrapper:
                  else self.num_inference_steps)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-        if self.pipeline_name == "text2imgxl":
-            # placeholders ride encoder 1; bigG sees the plain prompt
-            # (`prompt_2 = plain_prompt`, `adaface_wrapper.py:586`)
+        if self.pipeline_name in ("text2imgxl", "text2img3"):
+            # placeholders ride encoder 1; the other towers see the plain
+            # prompt (`prompt_2 = plain_prompt`, `adaface_wrapper.py:586`)
             return self.pipeline(
                 [prompt] * num_images,
                 prompts_2=[plain_prompt] * num_images,

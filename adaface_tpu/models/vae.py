@@ -269,19 +269,20 @@ def gaussian_kl(moments: jax.Array) -> jax.Array:
 def vae_encode(
     params: Params, x: jax.Array, cfg: VAEConfig = SD_VAE,
     rng: jax.Array | None = None, mask: dict | None = None,
-    scale: float = SD_LATENT_SCALE,
+    scale: float = SD_LATENT_SCALE, shift: float = 0.0,
 ) -> jax.Array:
-    """Image → scaled latent [B, 4, H/8, W/8]. rng None → posterior mode."""
+    """Image → scaled latent [B, 4, H/8, W/8]. rng None → posterior mode.
+    shift: SD3-family VAEs subtract a shift_factor before scaling."""
     moments = vae_encode_moments(params, x, cfg, mask=mask)
-    return gaussian_sample(moments, rng) * scale
+    return (gaussian_sample(moments, rng) - shift) * scale
 
 
 def vae_decode(
     params: Params, z: jax.Array, cfg: VAEConfig = SD_VAE,
-    scale: float = SD_LATENT_SCALE,
+    scale: float = SD_LATENT_SCALE, shift: float = 0.0,
 ) -> jax.Array:
     """Scaled latent → image [B, 3, H, W] in [-1, 1]."""
-    z = (z / scale).transpose(0, 2, 3, 1)
+    z = (z / scale + shift).transpose(0, 2, 3, 1)
     z = _conv(params["post_quant_conv"], z, padding=0)
     p = params["decoder"]
     h = _conv(p["conv_in"], z)

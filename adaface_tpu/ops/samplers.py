@@ -423,3 +423,53 @@ def euler_sample(
         (jnp.asarray(ts, jnp.int32), jnp.asarray(sigmas, jnp.float32),
          jnp.asarray(sigma_next, jnp.float32), scales))
     return out.astype(x_T.dtype)
+
+
+def rectified_flow_sample(
+    model_fn: ModelFn,
+    x_T: jax.Array,
+    cond_ctx,
+    uncond_ctx=None,
+    num_inference_steps: int = 28,
+    guidance_scale: float = 7.0,
+    shift: float = 3.0,
+) -> jax.Array:
+    """Flow-matching Euler sampler (`FlowMatchEulerDiscreteScheduler`
+    semantics, the SD3 pipeline default used by the reference's
+    "text2img3" branch).
+
+    The model predicts velocity v on x_σ = (1−σ)·x₀ + σ·ε; the timestep
+    fed to the model is σ·1000 with the resolution shift
+    σ = s·u/(1+(s−1)·u) applied to uniform u. One Euler step:
+    x ← x + v·(σ_next − σ).
+    """
+    n = num_inference_steps
+    u = np.linspace(1.0, 1.0 / n, n)
+    sigmas = shift * u / (1.0 + (shift - 1.0) * u)
+    sigma_next = np.append(sigmas[1:], 0.0)
+    b = x_T.shape[0]
+    use_cfg = uncond_ctx is not None
+    if use_cfg:
+        both_ctx = jax.tree_util.tree_map(
+            lambda un, c: jnp.concatenate([un, c], axis=0),
+            uncond_ctx, cond_ctx)
+    else:
+        both_ctx = cond_ctx
+
+    def step(x, inp):
+        sig, sig_next = inp
+        tb = jnp.full((b,), sig * 1000.0, jnp.float32)
+        if use_cfg:
+            v2 = model_fn(jnp.concatenate([x, x], axis=0).astype(x_T.dtype),
+                          jnp.concatenate([tb, tb], axis=0), both_ctx)
+            v_u, v_c = jnp.split(v2.astype(jnp.float32), 2, axis=0)
+            v = v_u + guidance_scale * (v_c - v_u)
+        else:
+            v = model_fn(x.astype(x_T.dtype), tb, both_ctx).astype(jnp.float32)
+        return x + v * (sig_next - sig), None
+
+    out, _ = jax.lax.scan(
+        step, x_T.astype(jnp.float32),
+        (jnp.asarray(sigmas, jnp.float32),
+         jnp.asarray(sigma_next, jnp.float32)))
+    return out.astype(x_T.dtype)

@@ -109,11 +109,11 @@ def test_wrapper_img2img(modules):
 
 
 def test_wrapper_rejects_unimplemented_pipelines(modules):
-    # sdxl graduated to a real implementation (tests/test_sdxl.py);
-    # sd3/flux keep the API surface but stay unimplemented (SURVEY §7)
-    for name in ("sd3", "flux"):
-        with pytest.raises(NotImplementedError):
-            AdaFaceWrapper(name, modules, None)
+    # sdxl and sd3 graduated to real implementations (tests/test_sdxl.py,
+    # tests/test_sd3.py); flux keeps the API surface but stays
+    # unimplemented (commented out in the reference too)
+    with pytest.raises(NotImplementedError):
+        AdaFaceWrapper("flux", modules, None)
 
 
 def test_pipeline_unet_ensemble(modules):
