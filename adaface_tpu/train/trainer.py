@@ -223,9 +223,14 @@ class Trainer:
                                    num_priming_steps=flags.num_priming_steps)
                 det = self.host_detector
                 if ("arcface" in self.frozen and "vae" in self.frozen
-                        and not backend_supports_callbacks()):
+                        and (self.mesh is not None
+                             or not backend_supports_callbacks())):
                     # three-phase detection choreography (detect →
-                    # redenoise → detect) for callback-less backends
+                    # redenoise → detect): required on callback-less
+                    # backends (the axon relay), and on ANY multi-device
+                    # mesh — in-graph callbacks lower to device-0-only
+                    # regions whose resharding deadlocks against the
+                    # program's own collectives (observed 2026-08-21)
                     from adaface_tpu.train.comp_step import (
                         make_three_phase_comp_step)
 
@@ -242,9 +247,12 @@ class Trainer:
                     do_adv_attack=flags.do_adv_attack,
                     ffn_adapter=flags.recon_ffn_adapter)
                 if ("arcface" in self.frozen and "vae" in self.frozen
-                        and not backend_supports_callbacks()):
-                    # two-phase detection choreography for PJRT backends
-                    # without host-callback support (the axon relay)
+                        and (self.mesh is not None
+                             or not backend_supports_callbacks())):
+                    # two-phase detection choreography: required on PJRT
+                    # backends without host-callback support (the axon
+                    # relay), and on ANY multi-device mesh (callback
+                    # regions deadlock against mesh collectives)
                     from adaface_tpu.train.recon_step import (
                         make_two_phase_recon_step)
 

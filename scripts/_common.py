@@ -24,6 +24,11 @@ def add_model_args(ap):
     ap.add_argument("--guidance_scale", type=float, default=6.0)
     ap.add_argument("--num_inference_steps", type=int, default=50)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--pipeline", default=None,
+                    choices=["text2img", "img2img", "text2imgxl",
+                             "text2img3"],
+                    help="pipeline family (`adaface_infer.py:43`); the "
+                         "CLI's own default is used when omitted")
 
 
 def build_wrapper(args, pipeline_name: str = "text2img"):
@@ -31,16 +36,41 @@ def build_wrapper(args, pipeline_name: str = "text2img"):
     from adaface_tpu.inference.pipeline import PipelineModules
     from adaface_tpu.inference.wrapper import AdaFaceWrapper
 
+    if getattr(args, "pipeline", None):
+        pipeline_name = args.pipeline
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        modules = PipelineModules.random_init(jax.random.PRNGKey(0), dtype=dtype)
+        if pipeline_name == "text2imgxl":
+            from adaface_tpu.inference.sdxl_pipeline import SDXLPipelineModules
+
+            modules = SDXLPipelineModules.random_init(
+                jax.random.PRNGKey(0), dtype=dtype)
+            tower_names = ("unet", "vae", "text_encoder", "text_encoder_2")
+        elif pipeline_name == "text2img3":
+            from adaface_tpu.inference.sd3_pipeline import SD3PipelineModules
+
+            modules = SD3PipelineModules.random_init(
+                jax.random.PRNGKey(0), dtype=dtype)
+            tower_names = ("mmdit", "vae", "text_encoder", "text_encoder_2")
+        else:
+            modules = PipelineModules.random_init(
+                jax.random.PRNGKey(0), dtype=dtype)
+            tower_names = ("unet", "vae", "text_encoder")
         if args.base_model:
+            if pipeline_name in ("text2imgxl", "text2img3"):
+                raise SystemExit(
+                    f"--base_model single-file loading for {pipeline_name} "
+                    "isn't wired into this CLI yet — convert the towers "
+                    "with tools/convert_sd.py (SDXL UNet/VAE), "
+                    "tools/convert_mmdit.py (SD3) and "
+                    "tools/convert_clip.py, then assemble the pipeline "
+                    "modules in python")
             _load_base_model(modules, args.base_model)
         encoder = create_id2ada_prompt_encoder(
             args.encoder, jax.random.PRNGKey(1))
     dev = jax.devices()[0]
-    for name in ("unet", "vae", "text_encoder"):
+    for name in tower_names:
         setattr(modules, name, jax.device_put(getattr(modules, name), dev))
 
     if args.adaface_ckpt:

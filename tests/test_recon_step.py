@@ -240,28 +240,34 @@ def test_two_phase_matches_callback_mode():
 
 
 def test_recon_v2_dp_mesh_matches_single_device():
+    """The multi-device recon step runs the TWO-PHASE choreography (as on
+    real multi-chip hardware): in-graph pure_callback must not run over a
+    mesh — its device-0-only callback region deadlocks against the
+    program's own collectives (rendezvous abort, observed 2026-08-21).
+    The mesh result must match the single-device callback-mode step."""
     from adaface_tpu.parallel.mesh import make_mesh, shard_batch
     from adaface_tpu.train.optimizers import make_optimizer
-    from adaface_tpu.train.recon_step import make_recon_loss_fn
+    from adaface_tpu.train.recon_step import (make_recon_loss_fn,
+                                              make_two_phase_recon_step)
     from adaface_tpu.train.train_step import init_state, make_train_step
 
     frozen, trainable, batch, det = _setup(b=4)
     sched = DiffusionSchedule.create()
     rcfg = ReconStepConfig(num_denoising_steps=2, vae_cfg=VAE_CFG,
                            compute_dtype="float32")
-    loss_fn = make_recon_loss_fn(rcfg, det)
     opt = make_optimizer("adamw", 1e-3)
     state = init_state(trainable, opt)
     mesh = make_mesh(dp=4, tp=2)
     with mesh:
         sharded = shard_batch(batch, mesh)
-        step = make_train_step(loss_fn, opt, frozen, sched, _cfg(),
-                               donate=False)
+        step = make_two_phase_recon_step(rcfg, det, opt, frozen, sched,
+                                         _cfg())
         _, metrics = step(state, sharded, jax.random.PRNGKey(0))
-    step_local = make_train_step(loss_fn, opt, frozen, sched, _cfg(),
-                                 donate=False)
+        mesh_loss = float(metrics["loss"])
+    step_local = make_train_step(make_recon_loss_fn(rcfg, det), opt, frozen,
+                                 sched, _cfg(), donate=False)
     _, metrics_local = step_local(state, batch, jax.random.PRNGKey(0))
-    assert np.isfinite(float(metrics["loss"]))
-    np.testing.assert_allclose(float(metrics["loss"]),
+    assert np.isfinite(mesh_loss)
+    np.testing.assert_allclose(mesh_loss,
                                float(metrics_local["loss"]), rtol=1e-4)
     assert float(metrics["loss_arcface_align_recon"]) > 0
