@@ -120,7 +120,13 @@ def _irblock(p, x, stride):
     return _prelu(p["prelu"], out + residual)
 
 
-def init_arcface_params(rng: jax.Array, use_se: bool = True) -> Params:
+def init_arcface_params(rng: jax.Array, use_se: bool = True,
+                        layers: tuple | None = None) -> Params:
+    """`layers` overrides per-stage block counts (default resnet_face18's
+    [2,2,2,2]); stage channels/strides are fixed so any depth keeps the
+    128→8×8 spatial contract (`arcface_embed` adapts to the param tree).
+    Shallow settings exist for compile-budgeted dry runs, not inference."""
+    layer_counts = LAYERS if layers is None else layers
     ks = iter(jax.random.split(rng, 32))
     p: Params = {
         "conv1": _conv_init(next(ks), 3, 3, 1, 64),
@@ -133,7 +139,7 @@ def init_arcface_params(rng: jax.Array, use_se: bool = True) -> Params:
         "bn5": _bn_init(512),
     }
     cin = 64
-    for planes, n, stride in zip(CHANNELS, LAYERS, STRIDES):
+    for planes, n, stride in zip(CHANNELS, layer_counts, STRIDES):
         blocks = []
         blocks.append(_init_irblock(next(ks), cin, planes, stride, use_se))
         cin = planes

@@ -692,7 +692,7 @@ def comp_detections_to_batch(d_ssmc, d_sc, d_ss2, s_steps: int, b: int,
 
 def make_three_phase_comp_step(comp_cfg: CompDistillConfig, detector,
                                optimizer, frozen: Params, schedule,
-                               cfg: TrainConfig):
+                               cfg: TrainConfig, progress=None):
     """Comp-distill step for backends WITHOUT host-callback support (the
     axon PJRT relay rejects `pure_callback`, probed by
     `backend_supports_callbacks`). The comp identity family has a
@@ -729,11 +729,14 @@ def make_three_phase_comp_step(comp_cfg: CompDistillConfig, detector,
                            donate=False)
     max_bg = comp_cfg.max_bg_faces
 
+    note = progress if progress is not None else (lambda msg: None)
+
     def run(state, batch, rng):
         import numpy as np
 
         px = collect1(state.params, batch, rng)
         ssmc = np.asarray(px["ssmc"])
+        note("collect1 done (SS/SC/MC denoise decoded)")
         sc = np.asarray(px["sc"])  # [S, B, 3, H, W]
         s_steps, b = sc.shape[0], sc.shape[1]
         d_ssmc = detector(ssmc)
@@ -741,6 +744,7 @@ def make_three_phase_comp_step(comp_cfg: CompDistillConfig, detector,
         batch2 = dict(batch, comp_face_dets=comp_detections_to_batch(
             d_ssmc, d_sc, None, s_steps, b, max_bg))
         ss2 = np.asarray(collect2(state.params, batch2, rng))
+        note("collect2 done (SS re-denoise decoded)")
         d_ss2 = detector(ss2)
         batch3 = dict(batch, comp_face_dets=comp_detections_to_batch(
             d_ssmc, d_sc, d_ss2, s_steps, b, max_bg))

@@ -506,7 +506,7 @@ def detections_to_batch(dets_flat, s_steps: int, b: int,
 def make_two_phase_recon_step(rcfg: ReconStepConfig,
                               detector: HostFaceDetector,
                               optimizer, frozen: Params,
-                              schedule, cfg: TrainConfig):
+                              schedule, cfg: TrainConfig, progress=None):
     """The two-phase recon step for backends WITHOUT host-callback
     support (e.g. the axon PJRT relay rejects pure_callback): a jitted
     no-grad collect pass returns the decoded recons, the host detects
@@ -525,12 +525,15 @@ def make_two_phase_recon_step(rcfg: ReconStepConfig,
     step = make_train_step(loss_fn, optimizer, frozen, schedule, cfg,
                            donate=False)
 
+    note = progress if progress is not None else (lambda msg: None)
+
     def run(state, batch, rng):
         px = collect(state.params, batch, rng)  # [S_active, B, 3, H, W]
         s_steps, b = px.shape[0], px.shape[1]
         import numpy as np
 
         flat = np.asarray(px).reshape(s_steps * b, *px.shape[2:])
+        note("collect done (recon denoise decoded)")
         dets = detector(flat)
         batch2 = dict(batch, recon_face_dets=detections_to_batch(
             dets, s_steps, b, detector.max_bg))
