@@ -110,7 +110,14 @@ class SD3Pipeline:
         o1 = clip_mod.text_encode(self.m.text_encoder, ids1, self.m.text_cfg,
                                   return_hidden_states=True,
                                   return_pooled=True)
-        ids2 = jnp.asarray(self.m.tokenizer(prompts_2, max_length=77))
+        # tokenizer_2 is the same OpenCLIP-bigG tokenizer as SDXL's:
+        # 0-padding after the first eos (all 77 positions feed the joint
+        # context, so the padding convention is load-bearing)
+        from adaface_tpu.text.tokenizer import zero_pad_after_eos
+
+        ids2 = jnp.asarray(zero_pad_after_eos(
+            self.m.tokenizer(prompts_2, max_length=77),
+            self.m.tokenizer.eos_token_id))
         o2 = clip_mod.text_encode(self.m.text_encoder_2, ids2,
                                   self.m.text2_cfg,
                                   return_hidden_states=True,
@@ -163,7 +170,13 @@ class SD3Pipeline:
         return_latents: bool = False,
         sigma_shift: float = 3.0,
         t5_embs: jax.Array | None = None,
+        neg_t5_embs: jax.Array | None = None,
     ):
+        """Callers providing `t5_embs` (a real T5 run of the prompt)
+        should also supply `neg_t5_embs` for the negative prompt — the
+        reference encodes the negative prompt through T5 as well, so CFG
+        compares two T5-conditioned branches (zeros only when no T5
+        tower is loaded at all)."""
         if isinstance(prompts, str):
             prompts = [prompts]
         if isinstance(prompts_2, str):
@@ -179,7 +192,8 @@ class SD3Pipeline:
         cond, pooled = self.encode_prompt(prompts, prompts_2, t5_embs)
         uncond = neg_pooled = None
         if guidance_scale > 1:
-            uncond, neg_pooled = self.encode_prompt([negative_prompt] * b)
+            uncond, neg_pooled = self.encode_prompt([negative_prompt] * b,
+                                                    t5_embs=neg_t5_embs)
 
         key = (num_inference_steps, guidance_scale, sigma_shift)
         if self._generate is None or self._gen_key != key:

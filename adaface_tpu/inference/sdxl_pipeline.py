@@ -96,11 +96,11 @@ class SDXLPipeline:
         """tokenizer_2 ids: same BPE, zero-padded after the first eos (the
         SDXL second tokenizer pads with token 0, affecting post-eos hidden
         states that feed the UNet context)."""
-        ids = np.asarray(self.m.tokenizer(prompts, max_length=77))
-        eos = self.m.tokenizer.eos_token_id
-        first_eos = np.argmax(ids == eos, axis=1)
-        past = np.arange(ids.shape[1])[None, :] > first_eos[:, None]
-        return jnp.asarray(np.where(past, 0, ids))
+        from adaface_tpu.text.tokenizer import zero_pad_after_eos
+
+        ids = self.m.tokenizer(prompts, max_length=77)
+        return jnp.asarray(
+            zero_pad_after_eos(ids, self.m.tokenizer.eos_token_id))
 
     def _encode_one(self, prompts: list[str], prompts_2: list[str]):
         """→ (context [B,77,768+1280], pooled [B,1280])."""

@@ -11,14 +11,15 @@ string to user prompts (`update_prompt:491-532`), and runs CFG generation
 noised source image) and ada/img embedding mixing for ablations
 (`mix_ada_embs_with_other_embs:629-668`).
 
-The SDXL branch ("text2imgxl", `adaface_wrapper.py:126,585-607`) is
-implemented natively (`inference/sdxl_pipeline.py`): ada placeholders
+The SDXL branch ("text2imgxl", `adaface_wrapper.py:126,585-607`) and the
+SD3 branch ("text2img3", `adaface_wrapper.py:128,601-607`) are both
+implemented natively (`inference/sdxl_pipeline.py`,
+`inference/sd3_pipeline.py` + `models/mmdit.py`): ada placeholders
 extend the CLIP-L tokenizer/encoder exactly as in SD1.5, and the plain
-prompt feeds the bigG encoder (`prompt_2 = plain_prompt`). SD3/Flux keep
-the API surface but raise NotImplementedError, matching the
-trained/documented path of the reference (SURVEY §7 "what we do not
-port"; the reference's own flux branch is commented out,
-`adaface_wrapper.py:130`).
+prompt feeds the bigG encoder (`prompt_2 = plain_prompt`). Only Flux
+keeps the API surface and raises NotImplementedError — a deliberate
+skip matching the reference, whose own flux branch is commented out
+(`adaface_wrapper.py:130`).
 """
 
 from __future__ import annotations

@@ -440,11 +440,23 @@ def rectified_flow_sample(
 
     The model predicts velocity v on x_σ = (1−σ)·x₀ + σ·ε; the timestep
     fed to the model is σ·1000 with the resolution shift
-    σ = s·u/(1+(s−1)·u) applied to uniform u. One Euler step:
-    x ← x + v·(σ_next − σ).
+    σ = s·u/(1+(s−1)·u). The grid matches diffusers' scheduler exactly:
+    the train-grid endpoints [1, 1/1000] are shift-transformed once at
+    construction, the inference grid linspaces between those shifted
+    endpoints, and `set_timesteps` applies the shift transform AGAIN —
+    so σ_min ≈ 0.009 at shift 3 (NOT 1/num_inference_steps; a 1/n lower
+    bound would leave the final model evaluation at σ≈0.1 and diverge
+    from the reference trajectory over the last steps).
+    One Euler step: x ← x + v·(σ_next − σ).
     """
     n = num_inference_steps
-    u = np.linspace(1.0, 1.0 / n, n)
+    n_train = 1000
+    # first shift application (scheduler __init__): endpoints 1 → 1,
+    # 1/1000 → shifted sigma_min
+    sig_min_t = (shift * (1.0 / n_train)
+                 / (1.0 + (shift - 1.0) * (1.0 / n_train)))
+    u = np.linspace(1.0, sig_min_t, n)
+    # second shift application (set_timesteps)
     sigmas = shift * u / (1.0 + (shift - 1.0) * u)
     sigma_next = np.append(sigmas[1:], 0.0)
     b = x_T.shape[0]

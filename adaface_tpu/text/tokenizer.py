@@ -246,6 +246,23 @@ class CLIPTokenizer:
         return " ".join(debyte(w) for w in words).strip()
 
 
+def zero_pad_after_eos(ids, eos_id: int):
+    """Rewrite eos-padding to 0-padding after the first eos token.
+
+    The OpenCLIP-bigG tokenizer (SDXL tokenizer_2, SD3 tokenizer_2) pads
+    with token 0 after the single eos, unlike the CLIP-L tokenizer's
+    eos-padding; post-eos positions feed real hidden states into the UNet
+    / MMDiT context, so converted real checkpoints need the matching ids
+    (diffusers `StableDiffusionXLPipeline.encode_prompt` tokenizer_2).
+    """
+    import numpy as np
+
+    ids = np.asarray(ids)
+    first_eos = np.argmax(ids == eos_id, axis=1)
+    past = np.arange(ids.shape[1])[None, :] > first_eos[:, None]
+    return np.where(past, 0, ids)
+
+
 _default: CLIPTokenizer | None = None
 
 

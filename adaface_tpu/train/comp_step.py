@@ -545,6 +545,14 @@ def comp_distill_loss_fn(
         if stage != "full":
             # collect phases: the pixel outputs ride in the metrics slot
             return jnp.float32(0.0), aux
+    elif stage != "full":
+        # collect phase with the identity family disabled (zero weight /
+        # no ref_images in the batch): nothing to detect — return empty
+        # pixel outputs so make_three_phase_comp_step's run() skips
+        # detection and the train phase takes the no-face fallback below
+        z = jnp.zeros((0,), jnp.float32)
+        return jnp.float32(0.0), {"comp_px": {"ssmc": z, "sc": z},
+                                  "ss2_px": z}
         loss = loss + id_loss
         metrics.update(id_metrics)
         captured_steps = aux["captured_steps"]
@@ -736,6 +744,11 @@ def make_three_phase_comp_step(comp_cfg: CompDistillConfig, detector,
 
         px = collect1(state.params, batch, rng)
         ssmc = np.asarray(px["ssmc"])
+        if ssmc.size == 0:
+            # identity family disabled for this batch (no ref_images /
+            # zero weight): no detection rounds; the train graph takes
+            # its no-face fallback path
+            return step(state, batch, rng)
         note("collect1 done (SS/SC/MC denoise decoded)")
         sc = np.asarray(px["sc"])  # [S, B, 3, H, W]
         s_steps, b = sc.shape[0], sc.shape[1]

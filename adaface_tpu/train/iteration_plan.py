@@ -169,8 +169,13 @@ class IterationPlanner:
                 iter_type = "unet_distill"
                 self.unet_distill_iters += 1
                 delta_reg = False
-                n_steps = int(rng.randint(self.unet_distill_steps_range[0],
-                                          self.unet_distill_steps_range[1] + 1))
+                # deterministic round-robin over [lo, hi], NOT a random
+                # draw — the reference cycles `iters_count % 3 + 2` so
+                # all DDP ranks agree without synchronization
+                # (`ddpm.py:1266-1270`); hi comes from
+                # --max_num_unet_distill_denoising_steps (3 in stage 2)
+                lo, hi = self.unet_distill_steps_range
+                n_steps = lo + (self.unet_distill_iters - 1) % (hi - lo + 1)
             else:
                 iter_type = "recon"
                 self.recon_iters += 1

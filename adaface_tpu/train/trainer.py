@@ -223,8 +223,14 @@ class Trainer:
                                    num_priming_steps=flags.num_priming_steps)
                 det = self.host_detector
                 if ("arcface" in self.frozen and "vae" in self.frozen
+                        and ccfg.arcface_align_loss_weight > 0
                         and (self.mesh is not None
                              or not backend_supports_callbacks())):
+                    # gate matches comp_distill_loss_fn's `have_face`: a
+                    # zero identity weight makes collect1 fall through to
+                    # the full loss (no 'comp_px' output), so the
+                    # three-phase choreography is only selected when the
+                    # identity family actually runs
                     # three-phase detection choreography (detect →
                     # redenoise → detect): required on callback-less
                     # backends (the axon relay), and on ANY multi-device

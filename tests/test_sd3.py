@@ -108,13 +108,51 @@ def test_rectified_flow_matches_numpy_reference():
     got = np.asarray(rectified_flow_sample(
         model_fn, x_T, cond_ctx={}, num_inference_steps=n, shift=shift))
 
-    u = np.linspace(1.0, 1.0 / n, n)
-    sig = shift * u / (1.0 + (shift - 1.0) * u)
+    sig = _diffusers_flow_match_sigmas(n, shift)
     sig_next = np.append(sig[1:], 0.0)
     x = np.asarray(x_T, np.float64)
     for i in range(n):
         x = x + (a * x) * (sig_next[i] - sig[i])
     np.testing.assert_allclose(got, x, rtol=1e-4, atol=1e-5)
+
+
+def _diffusers_flow_match_sigmas(n: int, shift: float,
+                                 n_train: int = 1000) -> np.ndarray:
+    """FlowMatchEulerDiscreteScheduler grid, transcribed independently:
+    __init__ builds the train grid sigmas=linspace(1,1/1000) and applies
+    the shift transform once; set_timesteps linspaces t between
+    sigma_to_t of the shifted endpoints and applies the shift AGAIN."""
+    train_sigmas = np.linspace(1, n_train, n_train)[::-1] / n_train
+    train_sigmas = shift * train_sigmas / (1 + (shift - 1) * train_sigmas)
+    # _sigma_to_t is sigma * n_train; timesteps linspace in t-space
+    t = np.linspace(train_sigmas[0] * n_train, train_sigmas[-1] * n_train, n)
+    s = t / n_train
+    return shift * s / (1 + (shift - 1) * s)
+
+
+def test_rectified_flow_sigma_grid_matches_diffusers_schedule():
+    """The sampler's internal grid must match the diffusers scheduler:
+    σ_max = 1 and σ_min derives from 1/1000 (≈0.009 at shift 3), NOT
+    1/num_inference_steps (which would put the last model evaluation at
+    σ≈0.10 and deviate from the reference trajectory)."""
+    from adaface_tpu.ops.samplers import rectified_flow_sample
+
+    for n, shift in [(28, 3.0), (5, 3.0), (10, 1.0)]:
+        ref_sig = _diffusers_flow_match_sigmas(n, shift)
+        seen = []
+
+        def model_fn(x, t, ctx):
+            seen.append(t)
+            return jnp.zeros_like(x)
+
+        with jax.disable_jit():
+            rectified_flow_sample(model_fn, jnp.zeros((1, 4, 4, 4)),
+                                  cond_ctx={}, num_inference_steps=n,
+                                  shift=shift)
+        got_sig = np.asarray([float(t[0]) / 1000.0 for t in seen])
+        np.testing.assert_allclose(got_sig, ref_sig, rtol=1e-5, atol=1e-7)
+        assert abs(got_sig[0] - 1.0) < 1e-6
+        assert got_sig[-1] < 0.02  # ≈0.009 at shift 3, not ~0.1
 
 
 @pytest.fixture(scope="module")
