@@ -44,6 +44,7 @@ import numpy as np
 
 from adaface_tpu.models import clip as clip_mod
 from adaface_tpu.models.unet import AttnRuntime, unet_apply
+from adaface_tpu.train.comp_face_align import comp_identity_losses
 from adaface_tpu.ops.schedules import DiffusionSchedule
 from adaface_tpu.text.embedding_manager import (
     distribute_embedding_to_M_tokens,
@@ -125,6 +126,10 @@ class CompDistillConfig:
     rep_dist_fg_bounds: tuple = (0.1, 0.20, 0.25)  # `ddpm.py:3220`
     max_bg_faces: int = 2
     vae_cfg: Any = None  # tiny towers in tests; None → SD_VAE
+    # detection-frame size of the collect phases (see
+    # comp_face_align._detect_size); 0 = full res (tests pin full res so
+    # three-phase == callback-mode equality is exact)
+    collect_px_size: int = 256
 
 
 def _chain_power(num_steps: int) -> float:
@@ -527,8 +532,10 @@ def comp_distill_loss_fn(
                  and comp_cfg.arcface_align_loss_weight > 0
                  and "ref_images" in batch)
     if have_face:
-        from adaface_tpu.train.comp_face_align import comp_identity_losses
-
+        # module-level import (not here): this function runs under jit
+        # tracing, and importing a module inside a trace runs its
+        # module-level array constructors under that trace (the
+        # RGB_TO_GRAY leak, 2026-08-21)
         batch_f = batch
         if "redenoise_rand" not in batch:
             k1, k2 = jax.random.split(jax.random.fold_in(k_rand, 99))
@@ -545,14 +552,6 @@ def comp_distill_loss_fn(
         if stage != "full":
             # collect phases: the pixel outputs ride in the metrics slot
             return jnp.float32(0.0), aux
-    elif stage != "full":
-        # collect phase with the identity family disabled (zero weight /
-        # no ref_images in the batch): nothing to detect — return empty
-        # pixel outputs so make_three_phase_comp_step's run() skips
-        # detection and the train phase takes the no-face fallback below
-        z = jnp.zeros((0,), jnp.float32)
-        return jnp.float32(0.0), {"comp_px": {"ssmc": z, "sc": z},
-                                  "ss2_px": z}
         loss = loss + id_loss
         metrics.update(id_metrics)
         captured_steps = aux["captured_steps"]
@@ -563,6 +562,14 @@ def comp_distill_loss_fn(
         ct_gates = aux["ct_gates"]
         shrink = aux["shrink_ratio"]
         do_supp = aux["do_sc_fg_faces_suppress"]
+    elif stage != "full":
+        # collect phase with the identity family disabled (zero weight /
+        # no ref_images in the batch): nothing to detect — return empty
+        # pixel outputs so make_three_phase_comp_step's run() skips
+        # detection and the train phase takes the no-face fallback below
+        z = jnp.zeros((0,), jnp.float32)
+        return jnp.float32(0.0), {"comp_px": {"ssmc": z, "sc": z},
+                                  "ss2_px": z}
     else:
         # fallback (no face towers wired): pre-denoise bboxes/percent from
         # the batch, all steps active, classic mb-suppress on the fg mask
@@ -750,15 +757,28 @@ def make_three_phase_comp_step(comp_cfg: CompDistillConfig, detector,
             # its no-face fallback path
             return step(state, batch, rng)
         note("collect1 done (SS/SC/MC denoise decoded)")
-        sc = np.asarray(px["sc"])  # [S, B, 3, H, W]
+        sc = np.asarray(px["sc"])  # [S, B, ps, ps, 3] uint8
         s_steps, b = sc.shape[0], sc.shape[1]
-        d_ssmc = detector(ssmc)
-        d_sc = detector(sc.reshape(s_steps * b, *sc.shape[2:]))
+        # detection runs on downsized u8 frames (collect_px_size); the
+        # train graph consumes bboxes in full-decode pixel space
+        full_px = batch["x_start"].shape[-1] * (
+            comp_cfg.vae_cfg.spatial_scale
+            if comp_cfg.vae_cfg is not None else 8)
+        scale = full_px / ssmc.shape[1]
+
+        def rescale(d):
+            if scale != 1.0:
+                d.fg_bboxes = d.fg_bboxes * scale
+                d.bg_bboxes = d.bg_bboxes * scale
+            return d
+
+        d_ssmc = rescale(detector(ssmc))
+        d_sc = rescale(detector(sc.reshape(s_steps * b, *sc.shape[2:])))
         batch2 = dict(batch, comp_face_dets=comp_detections_to_batch(
             d_ssmc, d_sc, None, s_steps, b, max_bg))
         ss2 = np.asarray(collect2(state.params, batch2, rng))
         note("collect2 done (SS re-denoise decoded)")
-        d_ss2 = detector(ss2)
+        d_ss2 = rescale(detector(ss2))
         batch3 = dict(batch, comp_face_dets=comp_detections_to_batch(
             d_ssmc, d_sc, d_ss2, s_steps, b, max_bg))
         return step(state, batch3, rng)

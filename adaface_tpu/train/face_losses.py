@@ -31,7 +31,12 @@ import numpy as np
 
 from adaface_tpu.models.arcface import arcface_embed
 
-RGB_TO_GRAY = jnp.asarray([0.299, 0.587, 0.114])
+# numpy (NOT jnp): this module may be first imported inside a jit
+# trace (comp_step lazily imports comp_face_align in its traced loss
+# fn), and a module-level jnp array created under a trace leaks that
+# trace's tracer into every later graph (UnexpectedTracerError on the
+# chip, 2026-08-21)
+RGB_TO_GRAY = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
