@@ -50,17 +50,40 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: PyTree, mesh: Mesh) -> PyTree:
     """Shard each leaf's leading axis over 'dp'; leaves whose dim 0 is not
     divisible by dp (scalars, per-iteration vectors like the 3-element
-    clip_skip_weights) are replicated instead."""
+    clip_skip_weights) are replicated instead.
+
+    Step-major leaves (teacher chains / phase-A outputs shaped
+    [S, B, ...] under the `teacher_*` / `recon_phase_a` keys) shard
+    axis 1 — the batch axis — so a step count that happens to divide dp
+    never gets split across devices."""
     sh = batch_sharding(mesh)
+    sh1 = NamedSharding(mesh, P(None, "dp"))
     rep = replicated(mesh)
     dp = mesh.shape["dp"]
 
-    def place(x):
+    def place_leading(x):
         shaped = getattr(x, "shape", None)
         ok = shaped is not None and len(shaped) >= 1 and shaped[0] % dp == 0
         return jax.device_put(x, sh if ok else rep)
 
-    return jax.tree_util.tree_map(place, batch)
+    def place_step_major(x):
+        shaped = getattr(x, "shape", None)
+        ok = shaped is not None and len(shaped) >= 2 and shaped[1] % dp == 0
+        return jax.device_put(x, sh1 if ok else rep)
+
+    if isinstance(batch, dict):
+        out = {}
+        for k, v in batch.items():
+            if k == "recon_phase_a" and isinstance(v, dict):
+                out[k] = {k2: (place_step_major(x)
+                               if k2.startswith("eps_") else place_leading(x))
+                          for k2, x in v.items()}
+                continue
+            step_major = k.startswith("teacher_")
+            out[k] = jax.tree_util.tree_map(
+                place_step_major if step_major else place_leading, v)
+        return out
+    return jax.tree_util.tree_map(place_leading, batch)
 
 
 # Default tensor-parallel rules: shard the out-features of QKV/MLP-in

@@ -54,6 +54,21 @@ from adaface_tpu.train.recon_multistep import var_of_laplacian
 Params = dict[str, Any]
 
 
+def _detect_size(px: jax.Array, comp_cfg) -> jax.Array:
+    """Downsample + uint8-NHWC decoded frames on-device before the
+    host-detection readback (the detector only needs ~256² u8; the
+    in-graph ArcFace crops and Laplacian gates always see the full-res
+    decode) — 64× less relay traffic at 512² f32. The conversion is
+    exactly the detector's own host-side one (truncating astype); the
+    three-phase runner rescales the returned bboxes back to the full
+    decode resolution. Output [..., ps, ps, 3] uint8."""
+    ps = getattr(comp_cfg, "collect_px_size", 0)
+    if ps and px.shape[-1] > ps:
+        px = jax.image.resize(px, (*px.shape[:-2], ps, ps), "linear")
+    nhwc = jnp.moveaxis(px, -3, -1)
+    return jnp.clip((nhwc + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+
 # ---------------------------------------------------------------------------
 # geometry
 # ---------------------------------------------------------------------------
@@ -344,7 +359,8 @@ def comp_identity_losses(
         sc_px_steps = jnp.stack([
             decode(jax.lax.stop_gradient(x_recons[s][b:2 * b]))
             for s in range(s_steps)])
-        aux = {"comp_px": {"ssmc": ssmc_px, "sc": sc_px_steps}}
+        aux = {"comp_px": {"ssmc": _detect_size(ssmc_px, comp_cfg),
+                           "sc": _detect_size(sc_px_steps, comp_cfg)}}
         return jnp.float32(0.0), aux, metrics
     if dets is not None:
         fg_bb_all = dets["ssmc_fg"]
@@ -519,7 +535,8 @@ def comp_identity_losses(
     ss2_lat = jnp.concatenate(recons2, axis=0)
     ss2_px = decode(ss2_lat)
     if stage == "collect2":
-        return jnp.float32(0.0), {"ss2_px": ss2_px}, metrics
+        return jnp.float32(0.0), {"ss2_px": _detect_size(ss2_px, comp_cfg)
+                                  }, metrics
     if dets is not None and "ss2_fg" in dets:
         ss2_bb, ss2_det, ss2_conf = (dets["ss2_fg"], dets["ss2_det"],
                                      dets["ss2_conf"])

@@ -90,6 +90,13 @@ class ReconStepConfig:
     recon_adv_mod_mag_range: tuple[float, float] = (0.001, 0.003)
     ffn_adapter: str = "recon_loss"
     max_bg_faces: int = 2
+    # detection-image size of the collect phase: the host detector only
+    # needs ~256² (SCRFD/cascade resize internally anyway), so the
+    # collect pass downsamples the decoded recons on-device before the
+    # host readback — 4× less relay traffic at 512² decode. 0 = full res.
+    # Only the DETECTION runs downscaled; the ArcFace identity crop in
+    # the train phase always sees the full-res in-graph decode.
+    collect_px_size: int = 256
     # UNet compute dtype — bf16 on TPU (the reference autocasts to fp16,
     # `ddpm.py:4225`); golden tests set float32
     compute_dtype: str = "bfloat16"
@@ -249,12 +256,32 @@ def recon_loss_fn_v2(
     pred_l2s = []
     det_fracs = []
     collected_px = []
+    collected_cls, collected_un = [], []
+    # phase-A predictions riding in as batch data: the cls/uncond
+    # anchors are consumed under stop_gradient (`ddpm.py:2341,2583`), so
+    # the train phase can take phase A's no-grad predictions verbatim
+    # instead of recomputing them — 2 of its 3 per-step UNet forwards.
+    # Phase A runs with the same params (no update in between), so the
+    # values are the ones this graph would compute.
+    phase_a = batch.get("recon_phase_a")
+    n_active = 0  # active (non-priming) step counter
 
     x = x0
     t = rand["t0"]
+    primed = None
+    start_i = 0
+    if phase_a is not None and n_prime > 0 and "x_primed" in phase_a:
+        # the priming chain is entirely no-grad (`:1783-1789`), so the
+        # train phase resumes from phase A's post-priming state instead
+        # of recomputing 2×n_prime UNet forwards
+        x = jax.lax.stop_gradient(phase_a["x_primed"])
+        t = phase_a["t_primed"]
+        start_i = n_prime
     noise_next_adj = None  # adv-attacked noise for the next step
-    for i in range(s_total):
+    for i in range(start_i, s_total):
         on_priming = i < n_prime
+        if collect_mode and on_noise and i == n_prime:
+            primed = (x, t)
         noise_i = rand["noises"][i] if noise_next_adj is None \
             else noise_next_adj
         noise_next_adj = None
@@ -276,28 +303,45 @@ def recon_loss_fn_v2(
             continue
 
         # ---- subject-conditioned denoise (gradient + capture) ----
-        rt_s = rt_nograd if collect_mode else rt_grad
-        eps_subj, cap = unet_apply(
-            unet_params, x_t.astype(dt), t, ctx_subj.astype(dt), cfg.unet,
-            rt=rt_s, img_mask=img_mask, subj_mask=subj_mask,
-            attn_lora=a_lora,
-            attn_lora_gate=attn_gate if use_attn_lora else None)
-        eps_subj = eps_subj.astype(x.dtype)
         if collect_mode:
-            # the cls prediction never feeds x_recon — skip it
-            eps_un = denoise_nograd(x_t, t, uncond_b,
-                                    jnp.zeros_like(attn_gate), None)
-            eps_cls = eps_subj  # placeholder, unused
+            # ONE batched no-grad call [subj, cls, uncond]; the cls and
+            # uncond predictions are collected for the train phase
+            x3 = jnp.concatenate([x_t] * 3, axis=0)
+            t3 = jnp.concatenate([t] * 3, axis=0)
+            c3 = jnp.concatenate([ctx_subj, ctx_cls, uncond_b], axis=0)
+            g3 = jnp.concatenate([attn_gate, attn_gate,
+                                  jnp.zeros_like(attn_gate)])
+            m3 = (jnp.concatenate([img_mask, img_mask,
+                                   jnp.ones_like(img_mask)], axis=0)
+                  if img_mask is not None else None)
+            eps3 = denoise_nograd(x3, t3, c3, g3, m3)
+            eps_subj, eps_cls, eps_un = jnp.split(eps3, 3, axis=0)
+            collected_cls.append(eps_cls)
+            collected_un.append(eps_un)
+            cap = {}
         else:
-            # ---- cls + uncond in one no-grad batched call ----
-            x2 = jnp.concatenate([x_t, x_t], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
-            c2 = jnp.concatenate([ctx_cls, uncond_b], axis=0)
-            g2 = jnp.concatenate([attn_gate, jnp.zeros_like(attn_gate)])
-            m2 = (jnp.concatenate([img_mask, jnp.ones_like(img_mask)],
-                                  axis=0) if img_mask is not None else None)
-            eps2 = denoise_nograd(x2, t2, c2, g2, m2)
-            eps_cls, eps_un = jnp.split(eps2, 2, axis=0)
+            eps_subj, cap = unet_apply(
+                unet_params, x_t.astype(dt), t, ctx_subj.astype(dt),
+                cfg.unet, rt=rt_grad, img_mask=img_mask,
+                subj_mask=subj_mask, attn_lora=a_lora,
+                attn_lora_gate=attn_gate if use_attn_lora else None)
+            eps_subj = eps_subj.astype(x.dtype)
+            if phase_a is not None:
+                # phase A already computed these no-grad anchors
+                eps_cls = jax.lax.stop_gradient(phase_a["eps_cls"][n_active])
+                eps_un = jax.lax.stop_gradient(phase_a["eps_un"][n_active])
+            else:
+                # ---- cls + uncond in one no-grad batched call ----
+                x2 = jnp.concatenate([x_t, x_t], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                c2 = jnp.concatenate([ctx_cls, uncond_b], axis=0)
+                g2 = jnp.concatenate([attn_gate, jnp.zeros_like(attn_gate)])
+                m2 = (jnp.concatenate([img_mask, jnp.ones_like(img_mask)],
+                                      axis=0) if img_mask is not None
+                      else None)
+                eps2 = denoise_nograd(x2, t2, c2, g2, m2)
+                eps_cls, eps_un = jnp.split(eps2, 2, axis=0)
+        n_active += 1
 
         do_cfg = rcfg.cfg_scale > 1 and (s_total > 1 or on_noise)
         if do_cfg:
@@ -316,9 +360,21 @@ def recon_loss_fn_v2(
         if collect_mode and "vae" in frozen:
             from adaface_tpu.models.vae import SD_VAE
 
-            collected_px.append(jax.lax.stop_gradient(vae_decode(
+            px_full = jax.lax.stop_gradient(vae_decode(
                 frozen["vae"], x_recon.astype(dt),
-                rcfg.vae_cfg or SD_VAE).astype(jnp.float32)))
+                rcfg.vae_cfg or SD_VAE).astype(jnp.float32))
+            # downsample + uint8-NHWC on-device for the host detector
+            # readback (the ArcFace crop in the train phase decodes
+            # full-res in-graph): 512² f32 NCHW → 256² u8 NHWC is 16×
+            # less relay traffic; the conversion is exactly the
+            # detector's own host-side one (truncating astype)
+            ps = rcfg.collect_px_size
+            if ps and px_full.shape[-1] > ps:
+                px_full = jax.image.resize(
+                    px_full, (*px_full.shape[:2], ps, ps), "linear")
+            collected_px.append(jnp.clip(
+                (px_full.transpose(0, 2, 3, 1) + 1.0) * 127.5,
+                0, 255).astype(jnp.uint8))
         if have_arcface:
             from adaface_tpu.models.vae import SD_VAE
 
@@ -394,9 +450,15 @@ def recon_loss_fn_v2(
             t = t_next
 
     if collect_mode:
-        # phase-A output: decoded recons for host detection; no loss
+        # phase-A output: decoded (downsized) recons for host detection
+        # + the parameter-independent cls/uncond predictions the train
+        # phase reuses; no loss
         out = {"recon_px": (jnp.stack(collected_px) if collected_px
-                            else jnp.zeros((0,)))}
+                            else jnp.zeros((0,))),
+               "eps_cls": jnp.stack(collected_cls),
+               "eps_un": jnp.stack(collected_un)}
+        if primed is not None:
+            out["x_primed"], out["t_primed"] = primed
         return jnp.float32(0.0), out
 
     # ------------------------------------------------------- aggregation
@@ -519,7 +581,7 @@ def make_two_phase_recon_step(rcfg: ReconStepConfig,
     collect = make_frozen_caller(
         lambda frozen_, params, batch, rng: recon_loss_fn_v2(
             params, frozen_, batch, schedule, cfg, rng, rcfg=rcfg,
-            detector=None, collect_mode=True)[1]["recon_px"],
+            detector=None, collect_mode=True)[1],
         frozen)
     loss_fn = make_recon_loss_fn(rcfg, None)  # dets come from the batch
     step = make_train_step(loss_fn, optimizer, frozen, schedule, cfg,
@@ -527,16 +589,88 @@ def make_two_phase_recon_step(rcfg: ReconStepConfig,
 
     note = progress if progress is not None else (lambda msg: None)
 
-    def run(state, batch, rng):
-        px = collect(state.params, batch, rng)  # [S_active, B, 3, H, W]
-        s_steps, b = px.shape[0], px.shape[1]
+    def detect_on(out, batch):
+        """Host detection on phase A's (downsized) recons → the phase-B
+        batch with detections rescaled to the full decode resolution."""
         import numpy as np
 
+        px = out["recon_px"]  # [S_active, B, ps, ps, 3] uint8
+        s_steps, b = px.shape[0], px.shape[1]
         flat = np.asarray(px).reshape(s_steps * b, *px.shape[2:])
-        note("collect done (recon denoise decoded)")
         dets = detector(flat)
-        batch2 = dict(batch, recon_face_dets=detections_to_batch(
-            dets, s_steps, b, detector.max_bg))
+        full_px = batch["x_start"].shape[-1] * (
+            rcfg.vae_cfg.spatial_scale if rcfg.vae_cfg is not None else 8)
+        scale = full_px / px.shape[2]
+        if scale != 1.0:
+            dets.fg_bboxes = dets.fg_bboxes * scale
+            dets.bg_bboxes = dets.bg_bboxes * scale
+        phase_a = {"eps_cls": out["eps_cls"], "eps_un": out["eps_un"]}
+        if "x_primed" in out:
+            phase_a["x_primed"] = out["x_primed"]
+            phase_a["t_primed"] = out["t_primed"]
+        return dict(batch,
+                    recon_face_dets=detections_to_batch(
+                        dets, s_steps, b, detector.max_bg),
+                    recon_phase_a=phase_a)
+
+    def run(state, batch, rng):
+        out = collect(state.params, batch, rng)
+        note("collect done (recon denoise decoded)")
+        batch2 = detect_on(out, batch)
         return step(state, batch2, rng)
 
+    # expose the phases for pipelined callers (trainer overlap mode)
+    run.collect = lambda state, batch, rng: collect(state.params, batch, rng)
+    run.detect_on = detect_on
+    run.train = step
     return run
+
+
+def make_pipelined_recon_runner(two_phase_run):
+    """Software-pipeline the two-phase recon step across consecutive
+    iterations: collect(N+1) is enqueued on the device BEFORE train(N),
+    so the device never idles between steps — throughput ≈
+    1/max(t_collect, t_train) instead of 1/(t_collect + t_train), and
+    host detection overlaps device compute.
+
+    Semantics: collect(N+1) runs with the params BEFORE step N's
+    optimizer update. For recon-on-images the cls/uncond anchors are
+    parameter-independent (x_t = q_sample(x_start, t, noise) and the
+    cls/uncond contexts carry no trainable state when attn-LoRA is off),
+    so the anchors stay EXACT; only the detected face bboxes lag one
+    optimizer step — negligible against the reference's own detector
+    stochasticity, but opt-in (`TrainerConfig.overlap_recon_collect`)
+    because it is not bitwise the sequential choreography.
+
+    Usage:
+        runner = make_pipelined_recon_runner(step_fn)
+        for batch, rng in stream:
+            out = runner.push(state, batch, rng)   # None while priming
+            if out is not None:
+                state, metrics = out
+        state, metrics = runner.flush(state)
+    """
+
+    class _Runner:
+        def __init__(self):
+            self._pending = None  # (collect_out, batch, rng)
+
+        def push(self, state, batch, rng):
+            out_next = two_phase_run.collect(state, batch, rng)
+            pending, self._pending = self._pending, (out_next, batch, rng)
+            if pending is None:
+                return None
+            out, b_prev, r_prev = pending
+            # blocks on px readback of the PREVIOUS collect — which has
+            # already finished while this step's collect was enqueued
+            batch2 = two_phase_run.detect_on(out, b_prev)
+            return two_phase_run.train(state, batch2, r_prev)
+
+        def flush(self, state):
+            if self._pending is None:
+                return None
+            (out, b_prev, r_prev), self._pending = self._pending, None
+            batch2 = two_phase_run.detect_on(out, b_prev)
+            return two_phase_run.train(state, batch2, r_prev)
+
+    return _Runner()

@@ -213,19 +213,23 @@ def recon_loss_fn(
     # unfreeze_unet path (`v1-finetune-unet.yaml`): the UNet lives in
     # `trainable` and receives gradients directly
     unet_params = trainable.get("unet", frozen["unet"])
+    dt = _params_dtype(unet_params)  # bf16 towers → bf16 compute
     eps_pred, cap = unet_apply(
-        unet_params, x_t, batch["t"], ctx_subj, cfg.unet,
+        unet_params, x_t.astype(dt), batch["t"], ctx_subj.astype(dt),
+        cfg.unet,
         rt=rt,
         img_mask=batch.get("img_mask"),
         subj_mask=subj_mask,
         attn_lora=trainable.get("attn_lora"),
         ffn_lora=trainable.get("ffn_lora"),
     )
+    eps_pred = eps_pred.astype(x_t.dtype)
     # class-conditioned prediction for background guidance (no grad)
     eps_cls, _ = unet_apply(
-        jax.lax.stop_gradient(unet_params), x_t, batch["t"],
-        jax.lax.stop_gradient(ctx_cls), cfg.unet,
+        jax.lax.stop_gradient(unet_params), x_t.astype(dt), batch["t"],
+        jax.lax.stop_gradient(ctx_cls).astype(dt), cfg.unet,
     )
+    eps_cls = eps_cls.astype(x_t.dtype)
 
     loss_recon, loss_recon_cls, loss_mb = calc_recon_and_suppress_losses(
         batch["noise"], eps_pred, eps_cls, batch.get("face_detected"),
@@ -248,6 +252,17 @@ def recon_loss_fn(
         "loss_prompt_emb_delta": loss_delta,
     }
     return loss, metrics
+
+
+def _params_dtype(params: Params):
+    """Floating dtype of a param tree (the UNet compute dtype follows
+    its weights: bf16 production towers run in bf16 like the reference's
+    fp16 autocast, fp32 test towers stay exact)."""
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            return leaf.dtype
+    return jnp.float32
 
 
 def unet_distill_loss_fn(
@@ -287,8 +302,14 @@ def unet_distill_loss_fn(
             use_ffn_lora="ffn_lora" in trainable,
             ffn_adapter="unet_distill",
         )
+        # compute dtype follows the UNet weights: fp32 batch × bf16
+        # weights would promote every conv to f32 — measured ~4× step
+        # cost on v5e; the reference fp16-autocasts this region
+        # (`ddpm.py:4225`)
+        unet_p = trainable.get("unet", frozen["unet"])
+        dt = _params_dtype(unet_p)
         eps_pred, _ = unet_apply(
-            trainable.get("unet", frozen["unet"]), x_flat, t_flat, ctx_rep,
+            unet_p, x_flat.astype(dt), t_flat, ctx_rep.astype(dt),
             cfg.unet, rt=rt, ffn_lora=trainable.get("ffn_lora"))
         diff = (eps_pred.astype(jnp.float32)
                 - jax.lax.stop_gradient(
@@ -301,8 +322,10 @@ def unet_distill_loss_fn(
             use_ffn_lora="ffn_lora" in trainable,
             ffn_adapter="unet_distill",
         )
+        unet_p = trainable.get("unet", frozen["unet"])
+        dt = _params_dtype(unet_p)
         eps_pred, _ = unet_apply(
-            trainable.get("unet", frozen["unet"]), x_t, batch["t"], ctx4[:b],
+            unet_p, x_t.astype(dt), batch["t"], ctx4[:b].astype(dt),
             cfg.unet, rt=rt, ffn_lora=trainable.get("ffn_lora"))
         diff = (eps_pred.astype(jnp.float32)
                 - batch["teacher_noise_pred"].astype(jnp.float32)) ** 2

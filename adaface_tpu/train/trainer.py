@@ -103,6 +103,14 @@ class TrainerConfig:
     # Safe across UNet hot-swaps: _prepare_batch touches only frozen
     # towers (VAE / id2ada encoder / teacher), never the student UNet.
     prefetch: int = 2
+    # Overlap consecutive two-phase recon iterations: collect(N+1) is
+    # enqueued on the device before train(N)
+    # (`make_pipelined_recon_runner`) — throughput ≈ 1/max(collect,
+    # train) instead of 1/(collect + train). Approximate (opt-in):
+    # detections — and the no-grad cls/uncond anchors when attn-LoRA is
+    # training — lag one optimizer step. Exact when the step's
+    # parameters are static (tests pin lr=0 equality).
+    overlap_recon_collect: bool = False
     # normal-recon iteration config (recon_step.py — multistep denoise +
     # ArcFace identity loss, `calc_normal_recon_loss`); on_pure_noise /
     # do_adv_attack / ffn_adapter are overridden per-iteration by the
@@ -552,15 +560,103 @@ class Trainer:
                 raise item[1]
             yield item
 
+    def _post_step(self, step, flags, metrics, batch):
+        """Per-step bookkeeping after the device step: NaN trap, rolling
+        stats, logging, profiler, sample grid, checkpoint cadence."""
+        # NaN/Inf loss trap (`ddpm.py:2489-2491`)
+        loss = float(np.asarray(metrics.get("loss", 0.0)))
+        if not np.isfinite(loss):
+            self._nan_streak += 1
+            print(f"WARNING: non-finite loss at step {step} "
+                  f"({flags.iter_type})")
+            if self._nan_streak >= 3:
+                self.save(step)
+                raise FloatingPointError(
+                    f"loss non-finite for {self._nan_streak} "
+                    "consecutive steps")
+        else:
+            self._nan_streak = 0
+        # RollingStats window over the recon-face detection fraction
+        # (`normal_recon_face_images_on_image_stats`, `ddpm.py:213-224`)
+        if "recon_face_detected_frac" in metrics:
+            self.face_stats.update(
+                "face_detected",
+                float(np.asarray(metrics["recon_face_detected_frac"])))
+        if "comp_sc_face_kept_any" in metrics:
+            self.face_stats.update(
+                "comp_sc_face_kept",
+                float(np.asarray(metrics["comp_sc_face_kept_any"])))
+        self.logger.log_dict(step, {**{k: v for k, v in metrics.items()},
+                                    "face_detected_window":
+                                        self.face_stats.mean(
+                                            "face_detected"),
+                                    "iter_type_id": {"recon": 0,
+                                                     "unet_distill": 1,
+                                                     "comp_distill": 2}[
+                                        flags.iter_type]})
+        if self.profiler:
+            self.profiler.maybe_start_stop(step)
+        if (self.sample_logger is not None and self.vae_params is not None
+                and (step + 1) % self.cfg.sample_every == 0):
+            from adaface_tpu.models.vae import vae_decode
+
+            imgs = vae_decode(self.vae_params, batch["x_start"])
+            imgs = (np.asarray(imgs, np.float32) + 1) / 2
+            self.sample_logger.log(step, flags.iter_type, imgs)
+        if self.cfg.ckpt_every and (step + 1) % self.cfg.ckpt_every == 0:
+            self.save(step + 1)
+
     def fit(self, dataset: PersonalizedBase, num_steps: int | None = None):
         num_steps = num_steps or self.cfg.max_steps
         metrics = {}
-        nan_streak = 0
+        self._nan_streak = 0
+        # opt-in recon overlap (`cfg.overlap_recon_collect`): consecutive
+        # two-phase recon iterations of the SAME graph stream through
+        # make_pipelined_recon_runner — collect(N+1) enqueued before
+        # train(N), device never idles; detections (and, when attn-LoRA
+        # trains, the no-grad anchors) lag one optimizer step. The stream
+        # flushes on any iteration-type/graph change, weight hot-swap, or
+        # end of training.
+        runner = None
+        runner_fn = None
+        pend = None  # (step, flags, batch) pushed but not yet trained
+
+        def flush_runner():
+            nonlocal runner, runner_fn, pend, metrics
+            if runner is None:
+                return
+            out = runner.flush(self.state)
+            if out is not None and pend is not None:
+                self.state, metrics = out
+                self._post_step(*pend)
+            runner, runner_fn, pend = None, None, None
+
         for step, flags, batch in self._batch_iterator(dataset, num_steps):
             if flags.switch_weights:
+                flush_runner()  # pending collect read the OLD weights
                 self._hot_swap_unet(flags.use_comp_distill_weights)
             step_fn = self._get_step(flags)
+            overlap = (self.cfg.overlap_recon_collect
+                       and flags.iter_type == "recon"
+                       and hasattr(step_fn, "collect"))
             try:
+                if overlap:
+                    if runner_fn is not step_fn:
+                        flush_runner()
+                        from adaface_tpu.train.recon_step import (
+                            make_pipelined_recon_runner)
+
+                        runner = make_pipelined_recon_runner(step_fn)
+                        runner_fn = step_fn
+                    out = runner.push(self.state, batch,
+                                      jax.random.PRNGKey(flags.seed))
+                    done, pend = pend, (step, flags, batch)
+                    if out is None:
+                        continue  # stream priming: result arrives next push
+                    self.state, metrics = out
+                    self._post_step(*done)
+                    continue
+                flush_runner()
                 self.state, metrics = step_fn(self.state, batch,
                                               jax.random.PRNGKey(flags.seed))
             except KeyboardInterrupt:
@@ -568,47 +664,8 @@ class Trainer:
                 out = self.save(step)
                 print(f"\ninterrupted at step {step}; checkpoint -> {out}")
                 raise
-            # NaN/Inf loss trap (`ddpm.py:2489-2491`)
-            loss = float(np.asarray(metrics.get("loss", 0.0)))
-            if not np.isfinite(loss):
-                nan_streak += 1
-                print(f"WARNING: non-finite loss at step {step} "
-                      f"({flags.iter_type})")
-                if nan_streak >= 3:
-                    self.save(step)
-                    raise FloatingPointError(
-                        f"loss non-finite for {nan_streak} consecutive steps")
-            else:
-                nan_streak = 0
-            # RollingStats window over the recon-face detection fraction
-            # (`normal_recon_face_images_on_image_stats`, `ddpm.py:213-224`)
-            if "recon_face_detected_frac" in metrics:
-                self.face_stats.update(
-                    "face_detected",
-                    float(np.asarray(metrics["recon_face_detected_frac"])))
-            if "comp_sc_face_kept_any" in metrics:
-                self.face_stats.update(
-                    "comp_sc_face_kept",
-                    float(np.asarray(metrics["comp_sc_face_kept_any"])))
-            self.logger.log_dict(step, {**{k: v for k, v in metrics.items()},
-                                        "face_detected_window":
-                                            self.face_stats.mean(
-                                                "face_detected"),
-                                        "iter_type_id": {"recon": 0,
-                                                         "unet_distill": 1,
-                                                         "comp_distill": 2}[
-                                            flags.iter_type]})
-            if self.profiler:
-                self.profiler.maybe_start_stop(step)
-            if (self.sample_logger is not None and self.vae_params is not None
-                    and (step + 1) % self.cfg.sample_every == 0):
-                from adaface_tpu.models.vae import vae_decode
-
-                imgs = vae_decode(self.vae_params, batch["x_start"])
-                imgs = (np.asarray(imgs, np.float32) + 1) / 2
-                self.sample_logger.log(step, flags.iter_type, imgs)
-            if self.cfg.ckpt_every and (step + 1) % self.cfg.ckpt_every == 0:
-                self.save(step + 1)
+            self._post_step(step, flags, metrics, batch)
+        flush_runner()
         return metrics
 
     def load(self, ckpt_dir: str, extend_mkv_multiplier: int = 1) -> int:

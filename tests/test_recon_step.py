@@ -237,6 +237,50 @@ def test_two_phase_matches_callback_mode():
         float(m1["loss_arcface_align_recon"]),
         float(m2["loss_arcface_align_recon"]), rtol=1e-6)
     assert float(m2["loss_arcface_align_recon"]) > 0
+    # the phase-A-reuse path (cls/uncond predictions ride in as batch
+    # data instead of being recomputed) must also match
+    batch3 = dict(batch2, recon_phase_a={"eps_cls": aux["eps_cls"],
+                                         "eps_un": aux["eps_un"]})
+    l3, m3 = recon_loss_fn_v2(trainable, frozen, batch3, sched, _cfg(), rng,
+                              rcfg=rcfg, detector=None)
+    np.testing.assert_allclose(float(l1), float(l3), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m1["loss_arcface_align_recon"]),
+        float(m3["loss_arcface_align_recon"]), rtol=1e-5)
+
+
+def test_pipelined_runner_matches_sequential_when_params_static():
+    """make_pipelined_recon_runner runs collect(N+1) with the params
+    BEFORE step N's update. With a zero learning rate the params never
+    move, so the pipelined stream must produce EXACTLY the sequential
+    two-phase results — isolating the pipelining choreography from the
+    (documented, opt-in) one-step staleness."""
+    from adaface_tpu.train.optimizers import make_optimizer
+    from adaface_tpu.train.recon_step import (make_pipelined_recon_runner,
+                                              make_two_phase_recon_step)
+    from adaface_tpu.train.train_step import init_state
+
+    frozen, trainable, batch, det = _setup()
+    sched = DiffusionSchedule.create()
+    rcfg = ReconStepConfig(num_denoising_steps=1, vae_cfg=VAE_CFG,
+                           compute_dtype="float32")
+    opt = make_optimizer("adamw", 0.0)  # lr=0: stale params == fresh
+    state = init_state(trainable, opt)
+    step_fn = make_two_phase_recon_step(rcfg, det, opt, frozen, sched, _cfg())
+
+    seq_losses = [float(step_fn(state, batch, jax.random.PRNGKey(i))[1]["loss"])
+                  for i in range(3)]
+
+    runner = make_pipelined_recon_runner(step_fn)
+    pipe_losses = []
+    assert runner.push(state, batch, jax.random.PRNGKey(0)) is None
+    for i in range(1, 3):
+        _, m = runner.push(state, batch, jax.random.PRNGKey(i))
+        pipe_losses.append(float(m["loss"]))
+    _, m = runner.flush(state)
+    pipe_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(pipe_losses, seq_losses, rtol=1e-6)
 
 
 def test_recon_v2_dp_mesh_matches_single_device():
