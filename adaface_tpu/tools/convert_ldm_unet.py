@@ -30,27 +30,24 @@ RESNET_MAP = [
     ("skip_connection", "conv_shortcut"),
 ]
 
-ATTN_MAP = [
-    ("norm", "norm"),
-    ("proj_in", "proj_in"),
-    ("proj_out", "proj_out"),
-    ("transformer_blocks.0.norm1", "transformer_blocks.0.norm1"),
-    ("transformer_blocks.0.attn1.to_q", "transformer_blocks.0.attn1.to_q"),
-    ("transformer_blocks.0.attn1.to_k", "transformer_blocks.0.attn1.to_k"),
-    ("transformer_blocks.0.attn1.to_v", "transformer_blocks.0.attn1.to_v"),
-    ("transformer_blocks.0.attn1.to_out.0",
-     "transformer_blocks.0.attn1.to_out.0"),
-    ("transformer_blocks.0.norm2", "transformer_blocks.0.norm2"),
-    ("transformer_blocks.0.attn2.to_q", "transformer_blocks.0.attn2.to_q"),
-    ("transformer_blocks.0.attn2.to_k", "transformer_blocks.0.attn2.to_k"),
-    ("transformer_blocks.0.attn2.to_v", "transformer_blocks.0.attn2.to_v"),
-    ("transformer_blocks.0.attn2.to_out.0",
-     "transformer_blocks.0.attn2.to_out.0"),
-    ("transformer_blocks.0.norm3", "transformer_blocks.0.norm3"),
-    ("transformer_blocks.0.ff.net.0.proj",
-     "transformer_blocks.0.ff.net.0.proj"),
-    ("transformer_blocks.0.ff.net.2", "transformer_blocks.0.ff.net.2"),
-]
+def _attn_map(depth: int = 1) -> list[tuple[str, str]]:
+    """Spatial-transformer key pairs for `depth` stacked transformer
+    blocks (SDXL levels use depth 2/10; LDM and diffusers use the same
+    inner names, so the map is the identity on the block subtree)."""
+    pairs = [("norm", "norm"), ("proj_in", "proj_in"),
+             ("proj_out", "proj_out")]
+    for d in range(depth):
+        for inner in (
+                "norm1", "attn1.to_q", "attn1.to_k", "attn1.to_v",
+                "attn1.to_out.0", "norm2", "attn2.to_q", "attn2.to_k",
+                "attn2.to_v", "attn2.to_out.0", "norm3", "ff.net.0.proj",
+                "ff.net.2"):
+            key = f"transformer_blocks.{d}.{inner}"
+            pairs.append((key, key))
+    return pairs
+
+
+ATTN_MAP = _attn_map(1)
 
 
 def ldm_unet_to_diffusers_keys(
@@ -70,12 +67,19 @@ def ldm_unet_to_diffusers_keys(
 
     copy("time_embed.0", "time_embedding.linear_1")
     copy("time_embed.2", "time_embedding.linear_2")
+    # SDXL (SGM) text_time conditioning MLP
+    copy("label_emb.0.0", "add_embedding.linear_1")
+    copy("label_emb.0.2", "add_embedding.linear_2")
     copy("input_blocks.0.0", "conv_in")
     copy("out.0", "conv_norm_out")
     copy("out.2", "conv_out")
 
     n_blocks = len(cfg.block_channels)
     lpb = cfg.layers_per_block
+
+    def block_attn_map(bi: int) -> list[tuple[str, str]]:
+        td = cfg.transformer_depth
+        return _attn_map(td[bi] if bi < len(td) else 1)
 
     # down path: input_blocks index 1.. ; each block: lpb (resnet[, attn])
     # entries then a downsampler entry
@@ -86,7 +90,7 @@ def ldm_unet_to_diffusers_keys(
                 copy(f"input_blocks.{idx}.0.{ls}",
                      f"down_blocks.{bi}.resnets.{li}.{ds}")
             if cfg.down_has_attn[bi]:
-                for ls, ds in ATTN_MAP:
+                for ls, ds in block_attn_map(bi):
                     copy(f"input_blocks.{idx}.1.{ls}",
                          f"down_blocks.{bi}.attentions.{li}.{ds}")
             idx += 1
@@ -99,11 +103,12 @@ def ldm_unet_to_diffusers_keys(
     for ls, ds in RESNET_MAP:
         copy(f"middle_block.0.{ls}", f"mid_block.resnets.0.{ds}")
         copy(f"middle_block.2.{ls}", f"mid_block.resnets.1.{ds}")
-    for ls, ds in ATTN_MAP:
+    for ls, ds in _attn_map(cfg.mid_transformer_depth):
         copy(f"middle_block.1.{ls}", f"mid_block.attentions.0.{ds}")
 
     # up path: output_blocks, lpb+1 entries per block; upsampler appended
-    # to the last entry of each non-final block
+    # to the last entry of each non-final block (up blocks mirror the down
+    # path, so up block bi uses the REVERSED depth list)
     idx = 0
     for bi in range(n_blocks):
         for li in range(lpb + 1):
@@ -111,7 +116,7 @@ def ldm_unet_to_diffusers_keys(
                 copy(f"output_blocks.{idx}.0.{ls}",
                      f"up_blocks.{bi}.resnets.{li}.{ds}")
             if cfg.up_has_attn[bi]:
-                for ls, ds in ATTN_MAP:
+                for ls, ds in block_attn_map(n_blocks - 1 - bi):
                     copy(f"output_blocks.{idx}.1.{ls}",
                          f"up_blocks.{bi}.attentions.{li}.{ds}")
             # the upsampler lives in the last sub-module of the last entry

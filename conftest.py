@@ -41,12 +41,16 @@ SLOW_MODULES = {
     "test_trainer",
     "test_comp_distill",
     "test_comp_face_align",
+    "test_comp_three_phase",
+    "test_golden_comp_assembly",
     "test_recon_multistep",
     "test_recon_step",
     "test_joint_train",
     "test_golden_comp",
     "test_golden_pipeline",
     "test_golden_unet",
+    "test_golden_sdxl",
+    "test_golden_mmdit",
     "test_golden_sbg",
     "test_golden_id2ada",
     "test_golden_models",

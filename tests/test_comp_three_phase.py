@@ -97,3 +97,41 @@ def test_make_three_phase_comp_step_runs():
     _, metrics_cb = step(state, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics_cb["loss"]), rtol=1e-5)
+
+
+def test_three_phase_dp_tp_mesh_matches_single_device():
+    """The comp three-phase step over a dp=4 × tp=2 mesh must equal the
+    single-device callback-mode step (VERDICT r3 #5: this graph's mesh
+    path was exercised only by the driver dryrun before; mirrors
+    test_recon_step.test_recon_v2_dp_mesh_matches_single_device)."""
+    from adaface_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from adaface_tpu.train.optimizers import make_optimizer
+    from adaface_tpu.train.train_step import init_state, make_train_step
+
+    frozen, trainable, batch = _face_setup(b=4)
+    det = HostFaceDetector(detector_fn=_center_detector)
+    sched = DiffusionSchedule.create()
+    cfg, ccfg = _cfg(), _ccfg()
+    opt = make_optimizer("adamw", 1e-3)
+    state = init_state(trainable, opt)
+    mesh = make_mesh(dp=4, tp=2)
+    with mesh:
+        frozen_sharded = {
+            k: (shard_params(v, mesh) if k in ("unet", "text_encoder")
+                else v)
+            for k, v in frozen.items()}
+        sharded = shard_batch(batch, mesh)
+        run = make_three_phase_comp_step(ccfg, det, opt, frozen_sharded,
+                                         sched, cfg)
+        _, metrics = run(state, sharded, jax.random.PRNGKey(1))
+        mesh_loss = float(metrics["loss"])
+    assert np.isfinite(mesh_loss)
+    loss_fn = lambda *a: comp_distill_loss_fn(  # noqa: E731
+        *a, comp_cfg=ccfg, detector=det)
+    step = make_train_step(loss_fn, opt, frozen, sched, cfg, donate=False)
+    _, metrics_cb = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(mesh_loss, float(metrics_cb["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        float(metrics["loss_arcface_align_comp"]),
+        float(metrics_cb["loss_arcface_align_comp"]), rtol=1e-4)

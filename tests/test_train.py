@@ -319,6 +319,50 @@ def test_unet_distill_multistep():
     assert g > 0
 
 
+def test_unet_distill_dp_tp_mesh_matches_single_device():
+    """Multistep unet-distill over dp=4 × tp=2 == single device (VERDICT
+    r3 #5: the distill graph's mesh path was exercised only by the
+    dryrun before). Teacher chains are step-major [S, B, ...] — the
+    shard_batch axis-1 rule keeps the batch axis on 'dp'."""
+    from jax.sharding import PartitionSpec as P
+
+    from adaface_tpu.train.optimizers import make_optimizer
+    from adaface_tpu.train.train_step import init_state, make_train_step
+
+    frozen, trainable, batch = _setup(b=4)
+    s = 2
+    batch = dict(batch)
+    batch["teacher_x_ts"] = jax.random.normal(jax.random.PRNGKey(11),
+                                              (s, 4, 4, HW, HW))
+    batch["teacher_ts"] = jnp.tile(jnp.array([[700], [400]]), (1, 4))
+    batch["teacher_noise_preds"] = jax.random.normal(jax.random.PRNGKey(12),
+                                                     (s, 4, 4, HW, HW))
+    sched = DiffusionSchedule.create()
+    cfg = TrainConfig(unet=UNET_CFG, sbg=SBG_CFG, clip_text=CLIP_CFG)
+    opt = make_optimizer("adamw", 1e-3)
+    state = init_state(trainable, opt)
+    mesh = make_mesh(dp=4, tp=2)
+    with mesh:
+        frozen_sharded = {
+            "unet": shard_params(frozen["unet"], mesh),
+            "text_encoder": shard_params(frozen["text_encoder"], mesh),
+            "sbg_buffers": frozen["sbg_buffers"],
+        }
+        sharded = shard_batch(batch, mesh)
+        # the teacher chain must be sharded on its BATCH axis (axis 1)
+        assert sharded["teacher_x_ts"].sharding.spec == P(None, "dp")
+        step = make_train_step(unet_distill_loss_fn, opt, frozen_sharded,
+                               sched, cfg, donate=False)
+        _, metrics = step(state, sharded, jax.random.PRNGKey(0))
+        mesh_loss = float(metrics["loss"])
+    assert np.isfinite(mesh_loss)
+    step_local = make_train_step(unet_distill_loss_fn, opt, frozen, sched,
+                                 cfg, donate=False)
+    _, metrics_local = step_local(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(mesh_loss, float(metrics_local["loss"]),
+                               rtol=1e-4)
+
+
 def test_recon_with_lora_adapters():
     from adaface_tpu.models.unet import init_attn_lora_params, init_ffn_lora_params
 
