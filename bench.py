@@ -70,14 +70,28 @@ def main():
     img = run(0)
     _ = np.asarray(img[:1, :1, :1, :1])
 
-    n_iters = 3
-    t0 = time.perf_counter()
+    # median-of-N with per-iteration forced sync and recorded spread
+    # (VERDICT r3: the relay showed ±40% day variance; a single grouped
+    # number hides it)
+    n_iters = int(os.environ.get("ADAFACE_BENCH_ITERS", "5"))
+    times = []
     for i in range(1, n_iters + 1):
+        t0 = time.perf_counter()
         img = run(i)
-    _ = np.asarray(img[:1, :1, :1, :1])  # host readback forces full sync
-    dt = (time.perf_counter() - t0) / n_iters
-
+        _ = np.asarray(img[:1, :1, :1, :1])  # host readback forces sync
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     imgs_per_sec = batch / dt
+
+    # optional output capture for the cross-mode quality gate
+    # (scripts/bench_quality.py compares bf16 vs int8/DeepCache outputs
+    # by ArcFace-embedding cosine; separate processes because the relay
+    # dies silently on a second large compile in one process)
+    save_out = os.environ.get("ADAFACE_BENCH_SAVE_OUT")
+    if save_out:
+        np.savez_compressed(save_out,
+                            images=np.asarray(img, np.float16))
+        print(f"# saved output batch -> {save_out}")
 
     # p50 single-request e2e latency (bs=1, compile excluded) — the second
     # metric of the BASELINE.json triple. Guarded two ways so the headline
@@ -115,6 +129,12 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
         "p50_latency_ms_bs1": p50_ms,
+        "iter_sec_spread": {
+            "median": round(dt, 3),
+            "min": round(float(np.min(times)), 3),
+            "max": round(float(np.max(times)), 3),
+            "n": n_iters,
+        },
     }))
 
 

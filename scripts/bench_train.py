@@ -5,23 +5,34 @@ stage-1 = 120k steps in 1-2 days on 2x RTX A6000 at bs4/GPU
 (`/root/reference/README.md:72` via BASELINE.md) — i.e. ~0.7-1.4
 optimizer steps/sec for the 2-GPU machine, ~0.35-0.7 steps/sec/GPU.
 
-Measures the LIVE normal-recon iteration (train/recon_step.py): 2-step
-CFG denoise + cls anchor + in-graph VAE decode + ArcFace identity loss +
-CAdamW update at bs4, via the two-phase detection choreography the real
-chip uses (the axon relay rejects host callbacks): phase A = no-grad
-collect pass (decoded recons), host detection, phase B = the train step
-consuming precomputed detections.
+Benches the three live iteration types (stage-1/2 mix, `ddpm.py:434-503`):
 
-The relay dies silently on a second large compile in one process
-(measured, .claude/skills/verify), so the two graphs compile in separate
-subprocesses chained through /tmp state:
+  recon        2-step CFG denoise + cls anchor + in-graph VAE decode +
+               ArcFace identity loss + CAdamW, via the two-phase
+               detection choreography the real chip needs (the axon
+               relay rejects host callbacks). Phase A additionally
+               collects the cls/uncond anchors + downsized detection
+               frames so phase B skips 2 of its 3 per-step UNet
+               forwards and the readback is 16x smaller (r4).
+  unet_distill teacher-chain matching (teacher precomputed, the no-grad
+               half of the reference step).
+  comp_distill three-phase comp step at bs1 (HBM envelope, TRAINING.md).
 
-  python scripts/bench_train.py            # orchestrates both phases
+Protocol (VERDICT r3 weak #2): median of ITERS(>=5) timed steps after a
+warmup step, per phase, with min/max spread recorded. The relay dies
+silently on a second large compile in one process (measured,
+.claude/skills/verify), so phases compile in separate subprocesses
+chained through /tmp state:
+
+  python scripts/bench_train.py            # orchestrate all benches
+  python scripts/bench_train.py recon      # recon only (collect+train)
   python scripts/bench_train.py collect    # phase A only
   python scripts/bench_train.py train      # phase B only (needs A's npz)
-  python scripts/bench_train.py legacy     # old single-step recon graph
+  python scripts/bench_train.py distill    # unet-distill step
+  python scripts/bench_train.py comp      # comp-distill three-phase bs1
 
-Prints ONE JSON line per completed benchmark.
+Prints ONE JSON line per completed benchmark; the orchestrator merges
+them into docs/BENCH_train.json.
 """
 
 from __future__ import annotations
@@ -35,7 +46,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(os.environ.get("BENCH_TRAIN_BS", "4"))
-ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "3"))
+COMP_BATCH = int(os.environ.get("BENCH_TRAIN_COMP_BS", "1"))
+ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))
 STATE = os.environ.get("BENCH_TRAIN_STATE", "/tmp/bench_train_state.npz")
 
 # reference: 120k steps / 1.5 days avg on 2 GPUs -> per-GPU steps/sec at bs4
@@ -50,11 +62,34 @@ def _sync(out):
     _ = np.asarray(leaf).ravel()[:1]
 
 
-def _build(full: bool):
+def _stats(times):
+    import numpy as np
+
+    return {
+        "median": round(float(np.median(times)), 3),
+        "min": round(float(np.min(times)), 3),
+        "max": round(float(np.max(times)), 3),
+        "n": len(times),
+    }
+
+
+def _setup_cache():
+    """Persistent compile cache: measured USELESS for the axon TPU
+    backend (2026-08-21: keys don't match across processes — two
+    identical recon-train runs wrote distinct 128 MB entries, and the
+    pipelined phase still recompiled 333 s with the entries present),
+    while the 128 MB serialization write lines up with the ~190 s
+    first-timed-iteration outliers. So: do NOT enable it here. The CPU
+    backend (conftest.py / dryrun_multichip) keeps it — it works there."""
+
+
+def _build(full: bool, batch_size: int | None = None):
     """Shared setup → (step pieces). full=True loads the VAE+ArcFace
     towers for the identity-loss path."""
     import jax
     import jax.numpy as jnp
+
+    _setup_cache()
 
     from adaface_tpu.id2ada.subj_basis_generator import (
         SubjBasisConfig, init_subj_basis_generator)
@@ -68,6 +103,7 @@ def _build(full: bool):
     from adaface_tpu.train.prompt_batch import build_4block_prompt_batch
     from adaface_tpu.train.train_step import TrainConfig, init_state
 
+    bs = batch_size or BATCH
     k_id = 16
     sbg_cfg = SubjBasisConfig(num_id_vecs=k_id)
     rng = jax.random.PRNGKey(0)
@@ -103,37 +139,37 @@ def _build(full: bool):
     ph = em.expand_placeholder(em.placeholders[0])
     pb = build_4block_prompt_batch(
         em,
-        [f"a photo of {ph}"] * BATCH,
-        [f"a photo of {ph} riding a bike"] * BATCH,
-        ["a photo of person"] * BATCH,
-        ["a photo of person riding a bike"] * BATCH,
+        [f"a photo of {ph}"] * bs,
+        [f"a photo of {ph} riding a bike"] * bs,
+        ["a photo of person"] * bs,
+        ["a photo of person riding a bike"] * bs,
     )
     key = jax.random.PRNGKey(7)
     hw = 64
     batch_dev = {
         "x_start": jax.random.normal(jax.random.fold_in(key, 0),
-                                     (BATCH, 4, hw, hw)),
+                                     (bs, 4, hw, hw)),
         "noise": jax.random.normal(jax.random.fold_in(key, 1),
-                                   (BATCH, 4, hw, hw)),
-        "t": jnp.full((BATCH,), 500, jnp.int32),
+                                   (bs, 4, hw, hw)),
+        "t": jnp.full((bs,), 500, jnp.int32),
         "img_prompt_embs": jax.random.normal(jax.random.fold_in(key, 2),
-                                             (BATCH, k_id, 768)),
+                                             (bs, k_id, 768)),
         "prompt_ids": jnp.asarray(pb["prompt_ids"]),
         "splice_map": jnp.asarray(pb["splice_map"]),
         "prompt_emb_mask": jnp.asarray(pb["prompt_emb_mask"]),
         "uncond_ids": jnp.asarray(pb["uncond_ids"]),
-        "img_mask": jnp.ones((BATCH, 1, hw, hw)),
-        "fg_mask": jnp.ones((BATCH, 1, hw, hw)),
-        "face_detected": jnp.ones((BATCH,)),
+        "img_mask": jnp.ones((bs, 1, hw, hw)),
+        "fg_mask": jnp.ones((bs, 1, hw, hw)),
+        "face_detected": jnp.ones((bs,)),
     }
     if full:
         batch_dev.update({
             "ref_images": jnp.clip(jax.random.normal(
-                jax.random.fold_in(key, 3), (BATCH, 3, 512, 512)) * 0.3,
+                jax.random.fold_in(key, 3), (bs, 3, 512, 512)) * 0.3,
                 -1, 1),
             "ref_face_bboxes": jnp.tile(
-                jnp.asarray([[128.0, 128.0, 384.0, 384.0]]), (BATCH, 1)),
-            "ref_face_detected": jnp.ones((BATCH,)),
+                jnp.asarray([[128.0, 128.0, 384.0, 384.0]]), (bs, 1)),
+            "ref_face_detected": jnp.ones((bs,)),
             "recon_attn_lora_gate": jnp.float32(0.0),
         })
     batch_dev = jax.device_put(batch_dev, dev)
@@ -159,30 +195,36 @@ def phase_collect():
     collect = make_frozen_caller(
         lambda frozen_, params, b, rng: recon_loss_fn_v2(
             params, frozen_, b, sched, cfg, rng, rcfg=rcfg,
-            detector=None, collect_mode=True)[1]["recon_px"], frozen)
+            detector=None, collect_mode=True)[1], frozen)
 
     t0 = time.perf_counter()
-    px = collect(state.params, batch, jax.random.PRNGKey(0))
-    _sync(px)
+    out = collect(state.params, batch, jax.random.PRNGKey(0))
+    _sync(out["recon_px"])
+    px = out["recon_px"]
     print(f"# collect compile+first: {time.perf_counter()-t0:.1f}s "
           f"px={px.shape}", file=sys.stderr)
 
     det = HostFaceDetector()  # cascade/insightface if present; else none
+    px_scale = 512 / px.shape[2]  # detection frames are downsized u8 (r4)
     times, det_times, saved = [], [], {}
     for i in range(ITERS):
         t0 = time.perf_counter()
-        px = collect(state.params, batch, jax.random.PRNGKey(i))
+        out = collect(state.params, batch, jax.random.PRNGKey(i))
+        px = out["recon_px"]
         flat = np.asarray(px).reshape(-1, *px.shape[2:])
         times.append(time.perf_counter() - t0)
         t1 = time.perf_counter()
         d = det(flat)
         det_times.append(time.perf_counter() - t1)
-        saved[f"fg_{i}"] = d.fg_bboxes
+        saved[f"fg_{i}"] = d.fg_bboxes * px_scale
         saved[f"det_{i}"] = d.detected
         saved[f"conf_{i}"] = d.confidences
-        saved[f"bgb_{i}"] = d.bg_bboxes
+        saved[f"bgb_{i}"] = d.bg_bboxes * px_scale
         saved[f"bgv_{i}"] = d.bg_valid
+        saved[f"eps_cls_{i}"] = np.asarray(out["eps_cls"])
+        saved[f"eps_un_{i}"] = np.asarray(out["eps_un"])
     saved["collect_time"] = np.float64(np.median(times))
+    saved["collect_times"] = np.asarray(times)
     saved["detect_time"] = np.float64(np.median(det_times))
     saved["s_steps"] = np.int64(px.shape[0])
     np.savez(STATE, **saved)
@@ -191,11 +233,13 @@ def phase_collect():
         "value": round(float(np.median(times)), 3),
         "unit": f"sec@bs{BATCH}",
         "detect_sec": round(float(np.median(det_times)), 4),
+        "spread": _stats(times),
     }))
 
 
 def phase_train():
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from adaface_tpu.train.recon_step import (
@@ -204,6 +248,11 @@ def phase_train():
 
     frozen, trainable, batch, sched, cfg, opt, state = _build(full=True)
     rcfg = ReconStepConfig()
+    if os.environ.get("BENCH_TRAIN_NO_IDENTITY") == "1":
+        # diagnostic: phase B without the identity family (no in-graph
+        # decode+bwd / arcface) — isolates the decode cost
+        frozen = {k: v for k, v in frozen.items()
+                  if k not in ("arcface", "vae")}
     loss_fn = make_recon_loss_fn(rcfg, None)
     step = make_train_step(loss_fn, opt, frozen, sched, cfg, donate=False)
 
@@ -223,8 +272,12 @@ def phase_train():
         return d
 
     def batch_for(i):
-        return dict(batch, recon_face_dets=detections_to_batch(
-            dets_for(i), s_steps, BATCH, rcfg.max_bg_faces))
+        return dict(
+            batch,
+            recon_face_dets=detections_to_batch(
+                dets_for(i), s_steps, BATCH, rcfg.max_bg_faces),
+            recon_phase_a={"eps_cls": jnp.asarray(data[f"eps_cls_{i}"]),
+                           "eps_un": jnp.asarray(data[f"eps_un_{i}"])})
 
     t0 = time.perf_counter()
     state, metrics = step(state, batch_for(0), jax.random.PRNGKey(0))
@@ -250,20 +303,190 @@ def phase_train():
         "metric": "recon_train_step_throughput",
         "value": round(sps, 4),
         "unit": f"steps/sec/chip@bs{BATCH} (2-step denoise + identity loss,"
-                " two-phase)",
+                " two-phase, phase-A anchor reuse)",
         "train_sec": round(t_train, 3),
         "collect_sec": round(t_collect, 3),
         "detect_sec": round(t_detect, 4),
+        "train_spread": _stats(times),
+        "collect_spread": _stats(np.asarray(data["collect_times"])),
         "vs_ref_per_gpu": round(sps / REF_STEPS_PER_SEC_PER_GPU, 2),
     }
     print(json.dumps(result))
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs", "BENCH_train.json")
-    try:
-        with open(out_path, "w") as f:
-            json.dump(result, f, indent=1)
-    except OSError as e:
-        print(f"# could not write {out_path}: {e}", file=sys.stderr)
+
+
+def phase_distill():
+    """unet-distill iteration: student matches a precomputed teacher
+    chain (`calc_unet_distill_loss`, `ddpm.py:2984-3184`). The teacher
+    denoise itself is no-grad precompute that the trainer's prefetch
+    thread overlaps, so the step-rate-limiting graph is this one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adaface_tpu.train.train_step import (make_train_step,
+                                              unet_distill_loss_fn)
+
+    frozen, trainable, batch, sched, cfg, opt, state = _build(full=False)
+    s_steps = 2  # mid of the 1..3 stage-2 draw (`README.md:80-83`)
+    key = jax.random.PRNGKey(11)
+    batch = dict(batch)
+    batch["teacher_x_ts"] = jax.random.normal(
+        jax.random.fold_in(key, 0), (s_steps, BATCH, 4, 64, 64))
+    batch["teacher_ts"] = jnp.tile(
+        jnp.asarray([[700], [500]], jnp.int32), (1, BATCH))
+    batch["teacher_noise_preds"] = jax.random.normal(
+        jax.random.fold_in(key, 1), (s_steps, BATCH, 4, 64, 64))
+    step = make_train_step(unet_distill_loss_fn, opt, frozen, sched, cfg,
+                           donate=False)
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    loss = float(np.asarray(metrics["loss"]))
+    print(f"# distill compile+first: {time.perf_counter()-t0:.1f}s "
+          f"loss={loss:.4f}", file=sys.stderr)
+    assert np.isfinite(loss)
+    times = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        _sync(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    sps = 1.0 / float(np.median(times))
+    print(json.dumps({
+        "metric": "unet_distill_step_throughput",
+        "value": round(sps, 4),
+        "unit": f"steps/sec/chip@bs{BATCH} ({s_steps}-step teacher chain)",
+        "train_spread": _stats(times),
+        "vs_ref_per_gpu": round(sps / REF_STEPS_PER_SEC_PER_GPU, 2),
+    }))
+
+
+def phase_comp():
+    """comp-distill three-phase step at COMP_BATCH (bs1 default: the
+    16 GB HBM envelope, TRAINING.md). Runs all three phases per timed
+    iteration — a true paired measurement."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adaface_tpu.train.comp_step import (CompDistillConfig,
+                                             make_three_phase_comp_step)
+    from adaface_tpu.train.face_detect import HostFaceDetector
+    from adaface_tpu.train.prompt_batch import (build_comp_prompt_batch,
+                                                make_comp_rep_prompts)
+    from adaface_tpu.text.embedding_manager import (EmbeddingManager,
+                                                    PlaceholderSpec)
+    from adaface_tpu.text.tokenizer import default_tokenizer
+
+    bs = COMP_BATCH
+    frozen, trainable, batch, sched, cfg, opt, state = _build(
+        full=True, batch_size=bs)
+    tok = default_tokenizer()
+    k_id = 16
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", k_id)])
+    ph = em.expand_placeholder(em.placeholders[0])
+    ss_p = [f"a photo of {ph}"] * bs
+    sc_p = [f"a photo of {ph} riding a bike"] * bs
+    cs_p = ["a photo of person"] * bs
+    cc_p = ["a photo of person riding a bike"] * bs
+    sc_rep = make_comp_rep_prompts(sc_p, ["cinematic"] * bs,
+                                   ["riding a bike"] * bs)
+    cpb = build_comp_prompt_batch(em, ss_p, sc_p, sc_rep, cs_p, cc_p)
+    batch = dict(batch)
+    batch.update({
+        "prompt_ids": jnp.asarray(cpb["prompt_ids"]),
+        "splice_map": jnp.asarray(cpb["splice_map"]),
+        "prompt_emb_mask": jnp.asarray(cpb["prompt_emb_mask"]),
+        "prompt_pad_mask": jnp.asarray(cpb["prompt_pad_mask"]),
+        "uncond_ids": jnp.asarray(cpb["uncond_ids"]),
+        "sc_fg_mask_percent": jnp.float32(0.4),
+        "comp_sc_face_detected_mean": jnp.float32(1.0),
+        "comp_sc_face_detected_n": jnp.float32(0.0),
+    })
+    det = HostFaceDetector()
+    # BENCH_TRAIN_COMP_STEPS=P,D overrides priming/denoise counts: the
+    # full-config (4,4) train graph OOM-kills the relay's
+    # tpu_compile_helper (SIGKILL, measured 2026-08-21 twice) — the
+    # reduced config is labeled in the output unit
+    import dataclasses as _dc
+    steps_env = os.environ.get("BENCH_TRAIN_COMP_STEPS")
+    ccfg = CompDistillConfig()
+    if steps_env:
+        p_, d_ = (int(v) for v in steps_env.split(","))
+        ccfg = _dc.replace(ccfg, num_priming_steps=p_,
+                           num_denoising_steps=d_)
+    step = make_three_phase_comp_step(ccfg, det, opt, frozen, sched, cfg)
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    loss = float(np.asarray(metrics["loss"]))
+    print(f"# comp compile+first: {time.perf_counter()-t0:.1f}s "
+          f"loss={loss:.4f}", file=sys.stderr)
+    assert np.isfinite(loss)
+    times = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        _sync(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    sps = 1.0 / float(np.median(times))
+    print(json.dumps({
+        "metric": "comp_distill_step_throughput",
+        "value": round(sps, 4),
+        "unit": f"steps/sec/chip@bs{bs} (three-phase, "
+                f"{ccfg.num_priming_steps}-prime/"
+                f"{ccfg.num_denoising_steps}-step 4-block denoise"
+                "+identity family)",
+        "train_spread": _stats(times),
+        "vs_ref_per_gpu": round(sps / REF_STEPS_PER_SEC_PER_GPU, 2),
+    }))
+
+
+def phase_pipelined():
+    """One-process software-pipelined recon: collect(N+1) enqueued
+    before train(N) (`make_pipelined_recon_runner`), device never idles
+    → ≈1/max(t_collect, t_train) steps/sec. Needs both graphs in one
+    process: only safe when the persistent compile cache is warm (run
+    `bench_train.py recon` first — the relay dies silently on a second
+    LARGE compile, but cache loads are not compiles)."""
+    import jax
+    import numpy as np
+
+    from adaface_tpu.train.face_detect import HostFaceDetector
+    from adaface_tpu.train.recon_step import (
+        ReconStepConfig, make_pipelined_recon_runner,
+        make_two_phase_recon_step)
+
+    frozen, trainable, batch, sched, cfg, opt, state = _build(full=True)
+    rcfg = ReconStepConfig()
+    det = HostFaceDetector()
+    step_fn = make_two_phase_recon_step(rcfg, det, opt, frozen, sched, cfg)
+    runner = make_pipelined_recon_runner(step_fn)
+
+    t0 = time.perf_counter()
+    # priming push compiles collect; first full push compiles train
+    out = runner.push(state, batch, jax.random.PRNGKey(0))
+    assert out is None
+    state2, metrics = runner.push(state, batch, jax.random.PRNGKey(1))
+    loss = float(np.asarray(metrics["loss"]))
+    print(f"# pipelined compile+first: {time.perf_counter()-t0:.1f}s "
+          f"loss={loss:.4f}", file=sys.stderr)
+    assert np.isfinite(loss)
+
+    times = []
+    state = state2
+    for i in range(2, 2 + ITERS):
+        t0 = time.perf_counter()
+        state, metrics = runner.push(state, batch, jax.random.PRNGKey(i))
+        _sync(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    sps = 1.0 / float(np.median(times))
+    print(json.dumps({
+        "metric": "recon_train_step_throughput_pipelined",
+        "value": round(sps, 4),
+        "unit": f"steps/sec/chip@bs{BATCH} (two-phase, collect(N+1)"
+                " overlapped with train(N))",
+        "cycle_spread": _stats(times),
+        "vs_ref_per_gpu": round(sps / REF_STEPS_PER_SEC_PER_GPU, 2),
+    }))
 
 
 def phase_legacy():
@@ -296,22 +519,64 @@ def phase_legacy():
     }))
 
 
+PHASES = {
+    "collect": phase_collect,
+    "train": phase_train,
+    "distill": phase_distill,
+    "comp": phase_comp,
+    "pipelined": phase_pipelined,
+    "legacy": phase_legacy,
+}
+
+
+def _run_sub(phase):
+    """Run one phase in a subprocess (one big relay compile per process
+    — measured constraint); return its parsed JSON result line."""
+    here = os.path.abspath(__file__)
+    r = subprocess.run([sys.executable, here, phase],
+                       capture_output=True, text=True)
+    sys.stderr.write(r.stderr)
+    result = None
+    for line in r.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            print(line)
+            result = json.loads(line)
+    if r.returncode != 0:
+        print(f"# phase {phase} failed rc={r.returncode}", file=sys.stderr)
+    return result
+
+
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
-    if mode == "collect":
-        phase_collect()
-    elif mode == "train":
-        phase_train()
-    elif mode == "legacy":
-        phase_legacy()
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in PHASES:
+        PHASES[mode]()
+        return
+    if mode == "recon":
+        seq = ["collect", "train", "pipelined"]
     else:
-        # chain the two phases through subprocesses: one big relay
-        # compile per process (measured constraint)
-        here = os.path.abspath(__file__)
-        for phase in ("collect", "train"):
-            r = subprocess.run([sys.executable, here, phase])
-            if r.returncode != 0:
-                sys.exit(r.returncode)
+        seq = ["collect", "train", "pipelined", "distill", "comp"]
+    results = {}
+    for phase in seq:
+        out = _run_sub(phase)
+        if out is not None:
+            results[out["metric"]] = out
+    if "recon_train_step_throughput" in results:
+        doc = dict(results["recon_train_step_throughput"])
+        doc["date"] = time.strftime("%Y-%m-%d")
+        for k in ("recon_train_step_throughput_pipelined",
+                  "unet_distill_step_throughput",
+                  "comp_distill_step_throughput"):
+            if k in results:
+                doc[k] = results[k]
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "BENCH_train.json")
+        try:
+            with open(out_path, "w") as f:
+                json.dump(doc, f, indent=1)
+            print(f"# wrote {out_path}", file=sys.stderr)
+        except OSError as e:
+            print(f"# could not write {out_path}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
