@@ -572,13 +572,17 @@ def _cross_attention(
             rscale = math.sqrt(scale)
             captured = {
                 # [B, H*D, N] layouts match the reference cache
-                # (`diffusers_attn_lora_capture.py:344-362`)
+                # (`diffusers_attn_lora_capture.py:344-362`); attn/score
+                # stored in the compute dtype — the reference captures
+                # inside the fp16 autocast region (`ddpm.py:4225`), and
+                # a step keeps S×3 layers of [B,H,N,Sk] probs live, so
+                # f32 copies alone blow the 16 GB HBM envelope at bs≥2
                 "q": (qh * rscale).transpose(0, 1, 3, 2).reshape(b, c, -1),
                 "q2": (q2h * rscale).transpose(0, 1, 3, 2).reshape(b, c, -1),
                 "k": (kh * rscale).transpose(0, 1, 3, 2).reshape(b, c, -1),
                 "v": (vh * rscale).transpose(0, 1, 3, 2).reshape(b, c, -1),
-                "attn": probs,
-                "attnscore": logits,
+                "attn": probs.astype(x.dtype),
+                "attnscore": logits.astype(x.dtype),
             }
     else:
         out_h = multi_head_attention(qh, kh, vh, kv_mask=kv_mask, scale=scale)
