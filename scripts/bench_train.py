@@ -287,6 +287,11 @@ def phase_train():
           f"{float(np.asarray(metrics.get('loss_arcface_align_recon', 0))):.4f}",
           file=sys.stderr)
     assert np.isfinite(loss)
+    # second warmup: the relay re-warms something on the first
+    # post-compile execution (~90-190 s, measured repeatedly) — exclude
+    # it from the record
+    state, metrics = step(state, batch_for(0), jax.random.PRNGKey(0))
+    _sync(metrics["loss"])
 
     times = []
     for i in range(ITERS):
@@ -344,6 +349,8 @@ def phase_distill():
     print(f"# distill compile+first: {time.perf_counter()-t0:.1f}s "
           f"loss={loss:.4f}", file=sys.stderr)
     assert np.isfinite(loss)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))  # relay re-warm
+    _sync(metrics["loss"])
     times = []
     for i in range(ITERS):
         t0 = time.perf_counter()
@@ -421,6 +428,8 @@ def phase_comp():
     print(f"# comp compile+first: {time.perf_counter()-t0:.1f}s "
           f"loss={loss:.4f}", file=sys.stderr)
     assert np.isfinite(loss)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))  # relay re-warm
+    _sync(metrics["loss"])
     times = []
     for i in range(ITERS):
         t0 = time.perf_counter()
@@ -470,6 +479,8 @@ def phase_pipelined():
     print(f"# pipelined compile+first: {time.perf_counter()-t0:.1f}s "
           f"loss={loss:.4f}", file=sys.stderr)
     assert np.isfinite(loss)
+    state2, metrics = runner.push(state2, batch, jax.random.PRNGKey(99))
+    _sync(metrics["loss"])  # relay re-warm
 
     times = []
     state = state2
