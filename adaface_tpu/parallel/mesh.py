@@ -79,7 +79,11 @@ def shard_batch(batch: PyTree, mesh: Mesh) -> PyTree:
                                if k2.startswith("eps_") else place_leading(x))
                           for k2, x in v.items()}
                 continue
-            step_major = k.startswith("teacher_")
+            # Only the genuinely step-major [S, B, ...] teacher chains;
+            # the single-step `teacher_noise_pred` ([B,4,H,W]) must shard
+            # its leading batch axis, not the 4-channel axis.
+            step_major = k in ("teacher_x_ts", "teacher_ts",
+                               "teacher_noise_preds")
             out[k] = jax.tree_util.tree_map(
                 place_step_major if step_major else place_leading, v)
         return out

@@ -772,13 +772,27 @@ def make_three_phase_comp_step(comp_cfg: CompDistillConfig, detector,
                 d.bg_bboxes = d.bg_bboxes * scale
             return d
 
-        d_ssmc = rescale(detector(ssmc))
-        d_sc = rescale(detector(sc.reshape(s_steps * b, *sc.shape[2:])))
+        def detect(frames):
+            # min_size is a FULL-RES pixel threshold; detection runs on
+            # collect_px_size-downsized frames, so shrink it by the same
+            # factor — otherwise small faces that callback mode keeps
+            # would be silently dropped here.
+            orig = getattr(detector, "min_size", None)
+            if orig is not None and scale != 1.0:
+                detector.min_size = max(1, int(round(orig / scale)))
+            try:
+                return detector(frames)
+            finally:
+                if orig is not None:
+                    detector.min_size = orig
+
+        d_ssmc = rescale(detect(ssmc))
+        d_sc = rescale(detect(sc.reshape(s_steps * b, *sc.shape[2:])))
         batch2 = dict(batch, comp_face_dets=comp_detections_to_batch(
             d_ssmc, d_sc, None, s_steps, b, max_bg))
         ss2 = np.asarray(collect2(state.params, batch2, rng))
         note("collect2 done (SS re-denoise decoded)")
-        d_ss2 = rescale(detector(ss2))
+        d_ss2 = rescale(detect(ss2))
         batch3 = dict(batch, comp_face_dets=comp_detections_to_batch(
             d_ssmc, d_sc, d_ss2, s_steps, b, max_bg))
         return step(state, batch3, rng)

@@ -455,8 +455,10 @@ def recon_loss_fn_v2(
         # phase reuses; no loss
         out = {"recon_px": (jnp.stack(collected_px) if collected_px
                             else jnp.zeros((0,))),
-               "eps_cls": jnp.stack(collected_cls),
-               "eps_un": jnp.stack(collected_un)}
+               "eps_cls": (jnp.stack(collected_cls) if collected_cls
+                           else jnp.zeros((0,))),
+               "eps_un": (jnp.stack(collected_un) if collected_un
+                          else jnp.zeros((0,)))}
         if primed is not None:
             out["x_primed"], out["t_primed"] = primed
         return jnp.float32(0.0), out
@@ -597,10 +599,19 @@ def make_two_phase_recon_step(rcfg: ReconStepConfig,
         px = out["recon_px"]  # [S_active, B, ps, ps, 3] uint8
         s_steps, b = px.shape[0], px.shape[1]
         flat = np.asarray(px).reshape(s_steps * b, *px.shape[2:])
-        dets = detector(flat)
         full_px = batch["x_start"].shape[-1] * (
             rcfg.vae_cfg.spatial_scale if rcfg.vae_cfg is not None else 8)
         scale = full_px / px.shape[2]
+        # min_size is a full-res threshold; shrink it to the downsized
+        # detection space so both backends filter faces at the same size
+        orig_min = getattr(detector, "min_size", None)
+        if orig_min is not None and scale != 1.0:
+            detector.min_size = max(1, int(round(orig_min / scale)))
+        try:
+            dets = detector(flat)
+        finally:
+            if orig_min is not None:
+                detector.min_size = orig_min
         if scale != 1.0:
             dets.fg_bboxes = dets.fg_bboxes * scale
             dets.bg_bboxes = dets.bg_bboxes * scale

@@ -628,7 +628,7 @@ class Trainer:
             out = runner.flush(self.state)
             if out is not None and pend is not None:
                 self.state, metrics = out
-                self._post_step(*pend)
+                self._post_step(pend[0], pend[1], metrics, pend[2])
             runner, runner_fn, pend = None, None, None
 
         for step, flags, batch in self._batch_iterator(dataset, num_steps):
@@ -654,7 +654,7 @@ class Trainer:
                     if out is None:
                         continue  # stream priming: result arrives next push
                     self.state, metrics = out
-                    self._post_step(*done)
+                    self._post_step(done[0], done[1], metrics, done[2])
                     continue
                 flush_runner()
                 self.state, metrics = step_fn(self.state, batch,

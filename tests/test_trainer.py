@@ -316,3 +316,80 @@ def test_batch_prefetch_deterministic(toy_dataset, tmp_path):
         for k in b0:
             np.testing.assert_array_equal(np.asarray(b0[k]),
                                           np.asarray(b1[k]), err_msg=k)
+
+
+def test_trainer_fit_overlap_recon_collect(toy_dataset, tmp_path, monkeypatch):
+    """Trainer.fit with overlap_recon_collect=True: consecutive two-phase
+    recon steps stream through make_pipelined_recon_runner. Regression for
+    the r4 advisor finding — `_post_step(*done)` passed a 3-tuple into the
+    4-arg signature, so the first completed overlapped step raised
+    TypeError. Every step's metrics row must land in metrics.csv."""
+    import adaface_tpu.train.trainer as trainer_mod
+
+    from adaface_tpu.models.arcface import init_arcface_params
+    from adaface_tpu.models.vae import VAEConfig, init_vae_params
+    from adaface_tpu.train.face_detect import HostFaceDetector
+    from adaface_tpu.train.recon_step import ReconStepConfig
+
+    # force the callback-less (two-phase) recon choreography on CPU
+    monkeypatch.setattr(trainer_mod, "backend_supports_callbacks",
+                        lambda: False)
+
+    rng = jax.random.PRNGKey(0)
+    tok = CLIPTokenizer.character_fallback()
+    k_id = 16
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", k_id)])
+    encoder = Arc2FaceID2AdaPrompt(
+        jax.random.fold_in(rng, 1),
+        face_backend=DeterministicBackend(),
+        clip_vision_cfg=SMALL_VISION, sbg_clip_cfg=SMALL_CLIP,
+        text_cfg=SMALL_CLIP, output_dim=D, is_training=True)
+    unet = init_unet_params(jax.random.fold_in(rng, 3), UNET_CFG)
+    text = init_text_params(jax.random.fold_in(rng, 4), SMALL_CLIP)
+    vae_cfg = VAEConfig(base_ch=16, ch_mult=(1, 2, 2), num_res_blocks=1,
+                        norm_groups=8)
+    frozen = {"unet": unet, "text_encoder": text,
+              "sbg_buffers": encoder.subj_basis_generator["buffers"],
+              "vae": init_vae_params(jax.random.fold_in(rng, 5), vae_cfg),
+              "arcface": init_arcface_params(jax.random.fold_in(rng, 6),
+                                             use_se=False)}
+    trainable = {"sbg": encoder.subj_basis_generator["params"]}
+
+    def bright_det(img):
+        g = img.astype(np.float32).mean(-1)
+        h, w = g.shape
+        y, x = np.unravel_index(np.argmax(g), g.shape)
+        x0 = np.clip(x - 12, 0, w - 24)
+        y0 = np.clip(y - 12, 0, h - 24)
+        return [(np.asarray((x0, y0, x0 + 24, y0 + 24), np.float32), 1.0)]
+
+    cfg = TrainerConfig(
+        log_dir=str(tmp_path / "logs_overlap"), batch_size=2, max_steps=4,
+        accum_steps=1, ckpt_every=0, optimizer="adamw", lr=1e-4,
+        warmup_steps=1, comp_distill_iter_gap=0, unet_distill_iter_gap=0,
+        image_size=128, num_vectors_per_subj_token=k_id,
+        # pin the recon graph key so consecutive steps share one runner
+        p_normal_recon_on_pure_noise=0.0, p_do_adv_attack=0.0,
+        overlap_recon_collect=True,
+        recon_cfg=ReconStepConfig(num_denoising_steps=1,
+                                  num_priming_steps=1, vae_cfg=vae_cfg,
+                                  compute_dtype="float32",
+                                  recon_face_align_loss_thres=-1.0))
+    train_cfg = TrainConfig(unet=UNET_CFG, sbg=encoder.sbg_cfg,
+                            clip_text=SMALL_CLIP)
+    trainer = Trainer(cfg, train_cfg, frozen, trainable, encoder, em,
+                      vae_params=None, teacher=None,
+                      host_detector=HostFaceDetector(detector_fn=bright_det))
+    ds = PersonalizedBase(toy_dataset, num_vectors_per_subj_token=k_id,
+                          size=128, seed=0)
+    metrics = trainer.fit(ds, num_steps=4)
+    assert np.isfinite(float(metrics["loss"]))
+    # the pipelined runner must have delivered a _post_step for EVERY
+    # step (the r4 bug dropped/crashed them): 4 metric rows, steps 0..3
+    import csv
+    import os
+
+    with open(os.path.join(cfg.log_dir, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 4
+    assert sorted(int(r["step"]) for r in rows) == [0, 1, 2, 3]
