@@ -264,11 +264,22 @@ def ss_redenoise_loop(
     ctx_h = ctx_ss.astype(dt)
     s_cfg = cfg.denoise_cfg_scale
 
-    captured, recons = [], []
-    x = xs_mixed[0]
-    for i in range(s_steps):
-        t = ts[i]
-        x_t = schedule.q_sample(x, t, noises[i])
+    # lax.scan instead of a python unroll: ONE cond + ONE uncond UNet
+    # body in the HLO for the whole no-grad re-denoise (the unrolled
+    # 4-step loop contributed to the relay compile-helper OOM,
+    # VERDICT r4 #1)
+    xs_st = jnp.stack(xs_mixed)  # [S, B, 4, h, w]
+    noises_st = jnp.stack(noises)
+    ts_arr = jnp.stack(ts)  # [S, B]
+
+    def body(carry, inp):
+        prev_recon, first = carry
+        x_mix, noise_i, t = inp
+        # step 0 starts from xs_mixed[0]; later steps chain with
+        # old_x_starts_mix_ratio = 0.3 (`ddpm.py:2082-2084`)
+        x = x_mix * (first + 0.3 * (1.0 - first)) \
+            + prev_recon * 0.7 * (1.0 - first)
+        x_t = schedule.q_sample(x, t, noise_i)
         eps, cap = unet_apply(
             unet_params, x_t.astype(dt), t, ctx_h, unet_cfg,
             rt=rt, attn_lora=attn_lora if use_attn_lora else None,
@@ -281,11 +292,15 @@ def ss_redenoise_loop(
         x_recon = schedule.predict_start_from_noise(x_t, t, eps_cfg)
         x_recon = jax.lax.stop_gradient(x_recon)
         cap = jax.tree_util.tree_map(jax.lax.stop_gradient, cap)
-        captured.append(cap)
-        recons.append(x_recon)
-        if i < s_steps - 1:
-            # old_x_starts_mix_ratio = 0.3 (`ddpm.py:2082-2084`)
-            x = xs_mixed[i + 1] * 0.3 + x_recon * 0.7
+        return (x_recon, jnp.float32(0.0)), (cap, x_recon)
+
+    init = (jnp.zeros_like(xs_st[0]), jnp.float32(1.0))
+    _, (caps_st, recons_st) = jax.lax.scan(
+        body, init, (xs_st, noises_st, ts_arr))
+    idx = lambda i: (lambda v: v[i])  # noqa: E731
+    captured = [jax.tree_util.tree_map(idx(i), caps_st)
+                for i in range(s_steps)]
+    recons = [recons_st[i] for i in range(s_steps)]
     return captured, recons
 
 
@@ -356,9 +371,13 @@ def comp_identity_losses(
     mc_px = ssmc_px[s_steps * b:]
     px = ss_px.shape[-1]
     if stage == "collect1":
-        sc_px_steps = jnp.stack([
-            decode(jax.lax.stop_gradient(x_recons[s][b:2 * b]))
-            for s in range(s_steps)])
+        # one decoder body over the concatenated per-step SC latents
+        # (was an unrolled per-step decode loop)
+        sc_lat = jnp.concatenate(
+            [jax.lax.stop_gradient(x_recons[s][b:2 * b])
+             for s in range(s_steps)], axis=0)
+        sc_px_flat = decode(sc_lat)
+        sc_px_steps = sc_px_flat.reshape(s_steps, b, *sc_px_flat.shape[1:])
         aux = {"comp_px": {"ssmc": _detect_size(ssmc_px, comp_cfg),
                            "sc": _detect_size(sc_px_steps, comp_cfg)}}
         return jnp.float32(0.0), aux, metrics
@@ -382,25 +401,26 @@ def comp_identity_losses(
     ss_bb_lat_last = map_bboxes_to_latent(ss_bb[-1], px, hw)
 
     # ---- per-step SC align loop, reversed (`ddpm.py:3628-3709`) ----
-    la_steps, lfg_steps, lbg_steps, lbg_any = [], [], [], []
-    g_any_steps, sc_bb_lat_steps = [], []
-    for s in range(s_steps):
-        # remat: the SC block carries gradients through the decode into
-        # the arcface losses; storing decoder activations for the bwd
-        # OOMs HBM at 512² (same fix as recon_step's identity decode)
+    # lax.scan over the steps: ONE remat'd decoder + ONE arcface body in
+    # the HLO instead of s_steps copies (relay compile-OOM fix). The
+    # remat is kept: the SC block carries gradients through the decode
+    # into the arcface losses; storing decoder activations for the bwd
+    # OOMs HBM at 512².
+    x_rec_sc = jnp.stack([x_recons[s][b:2 * b] for s in range(s_steps)])
+    ref_det = batch.get("ref_face_detected", jnp.ones((b,)))
+
+    def align_body(_, inp):
+        z = inp[0]
         sc_px = jax.checkpoint(
-            lambda p, z: vae_decode(p, z.astype(dt),
-                                    vae_cfg).astype(jnp.float32))(
-                frozen["vae"], x_recons[s][b:2 * b])
+            lambda p, zz: vae_decode(p, zz.astype(dt),
+                                     vae_cfg).astype(jnp.float32))(
+                frozen["vae"], z)
         if dets is not None:
-            sc_fg_bb = dets["sc_fg"][s]
-            sc_det = dets["sc_det"][s]
-            sc_bgbb = dets["sc_bgb"][s]
-            sc_bgv = dets["sc_bgv"][s]
+            _, sc_fg_bb, sc_det, sc_bgbb, sc_bgv = inp
         else:
             sc_fg_bb, sc_det, _, sc_bgbb, sc_bgv = detect_faces_in_graph(
                 sc_px, detector, comp_cfg.max_bg_faces)
-        det = sc_det * batch.get("ref_face_detected", jnp.ones((b,)))
+        det = sc_det * ref_det
         la, lfg, _ = calc_arcface_align_loss(
             frozen["arcface"], batch["ref_images"][:b], sc_px,
             batch["ref_face_bboxes"][:b], sc_fg_bb, det,
@@ -408,21 +428,21 @@ def comp_identity_losses(
                 0.9, comp_cfg.sc_fg_face_suppress_mask_shrink_ratio))
         lbg, bga = calc_bg_faces_suppress_loss(frozen["arcface"], sc_px,
                                                sc_bgbb, sc_bgv)
-        la_steps.append(la)
-        lfg_steps.append(lfg)
-        lbg_steps.append(lbg)
-        lbg_any.append(bga)
-        g_any_steps.append((det.sum() > 0).astype(jnp.float32))
-        sc_bb_lat_steps.append(map_bboxes_to_latent(sc_fg_bb, px, hw))
+        g = (det.sum() > 0).astype(jnp.float32)
+        return 0, (la, lfg, lbg, bga, g,
+                   map_bboxes_to_latent(sc_fg_bb, px, hw))
+
+    xs_in = (x_rec_sc,) if dets is None else (
+        x_rec_sc, dets["sc_fg"], dets["sc_det"], dets["sc_bgb"],
+        dets["sc_bgv"])
+    _, (la_arr, lfg_arr, lbg_arr, lbg_any_arr, g_steps,
+        sc_bb_lat_st) = jax.lax.scan(align_body, 0, xs_in)
+    sc_bb_lat_steps = [sc_bb_lat_st[s] for s in range(s_steps)]
 
     # the reference enters the SC align loop only when ALL last-step SS
     # instances have confident faces (`ddpm.py:3247`): fold the gate into
     # g_any so every downstream mask/count/stat inherits it
-    g_any = jnp.stack(g_any_steps) * all_ss  # [S]
-    la_arr = jnp.stack(la_steps)
-    lfg_arr = jnp.stack(lfg_steps)
-    lbg_arr = jnp.stack(lbg_steps)
-    lbg_any_arr = jnp.stack(lbg_any)
+    g_any = g_steps * all_ss  # [S]
 
     kept, computed, stat = assemble_align_gates(
         la_arr, g_any, comp_cfg.comp_sc_face_align_loss_thres,

@@ -210,8 +210,18 @@ def prime_comp_x_start(
     p = _chain_power(n_steps)
     lb_f, ub_f = 0.5 ** p, 0.7 ** p
 
-    for i in range(n_steps):
-        noise2 = jnp.broadcast_to(rand["prime_noises"][i], x.shape)
+    # lax.scan instead of a python unroll: ONE UNet body in the HLO for
+    # all priming steps — the unrolled 4-step graph was a major factor in
+    # the relay compile-helper OOM (VERDICT r4 #1)
+    rel_ts = rand["prime_rel_ts"]  # [Np-1]
+    rel_ts_pad = jnp.concatenate(
+        [rel_ts, jnp.zeros((1,), rel_ts.dtype)]) if n_steps > 1 \
+        else jnp.zeros((n_steps,))
+
+    def body(carry, inp):
+        x, t = carry
+        noise_i, rel_t = inp
+        noise2 = jnp.broadcast_to(noise_i, x.shape)
         x_t = schedule.q_sample(x, t, noise2)
         # pos + neg folded into one 4B-row UNet call (both are no-grad)
         x4 = jnp.concatenate([x_t, x_t], axis=0).astype(dt)
@@ -220,11 +230,14 @@ def prime_comp_x_start(
         eps_pos, eps_neg = jnp.split(eps4.astype(x.dtype), 2, axis=0)
         # CFG with the uncond context (`unet_teachers.py:153-155`)
         eps = eps_pos * s - eps_neg * (s - 1.0)
-        x = schedule.predict_start_from_noise(x_t, t, eps)
-        if i < n_steps - 1:
-            tf = t.astype(jnp.float32)
-            t = ((tf * ub_f - tf * lb_f) * rand["prime_rel_ts"][i]
+        x_new = schedule.predict_start_from_noise(x_t, t, eps)
+        tf = t.astype(jnp.float32)
+        t_new = ((tf * ub_f - tf * lb_f) * rel_t
                  + tf * lb_f).astype(jnp.int32)
+        return (x_new, t_new), None
+
+    (x, _), _ = jax.lax.scan(body, (x, t),
+                             (rand["prime_noises"][:n_steps], rel_ts_pad))
     x_single, x_comp = jnp.split(jax.lax.stop_gradient(x), 2, axis=0)
     return x_single, x_comp
 
@@ -340,19 +353,25 @@ def comp_distill_denoise(
 
     cond_step = jax.checkpoint(cond_step, static_argnums=())
 
-    captured_steps = []
-    x_recons = []
-    ts = []
-    x_inputs = []
-    x = x_start4
-    t = jnp.tile(rand["den_t0"], (4,))
-    for i in range(n_steps):
-        x_inputs.append(x)
-        noise4 = jnp.tile(rand["den_noises"][i], (4, 1, 1, 1))
+    # lax.scan over the denoising steps: ONE cond + ONE uncond UNet body
+    # in the HLO instead of n_steps copies of each (+ their backward
+    # recomputes) — the unrolled graph OOM-killed the relay compile
+    # helper (VERDICT r4 #1). Gradients only flow out of each step's
+    # stacked outputs (the chain carry is detached), so the scan VJP is
+    # equivalent to the unrolled per-step backward.
+    rel_ts = rand["den_rel_ts"]  # [n_steps-1, B]
+    rel_ts_pad = jnp.concatenate(
+        [rel_ts, jnp.zeros((1, b), rel_ts.dtype)], axis=0) \
+        if n_steps > 1 else jnp.zeros((n_steps, b))
+
+    def body(carry, inp):
+        x, t = carry
+        noise_b, rel_t, ffn_gate = inp
+        x_in = x
+        noise4 = jnp.tile(noise_b, (4, 1, 1, 1))
         x_t = schedule.q_sample(x, t, noise4)
         eps, cap = cond_step(unet_params, attn_lora, ffn_lora,
-                             x_t.astype(dt), t,
-                             rand["den_ffn_gates"][i])
+                             x_t.astype(dt), t, ffn_gate)
         # per-block gradient gating on outputs = sliced enable_grad calls
         eps = _gate4(eps.astype(x.dtype))
         cap = jax.tree_util.tree_map(_gate4, cap)
@@ -360,21 +379,29 @@ def comp_distill_denoise(
         eps_un, _ = unet_apply(
             unet_params, x_t.astype(dt), t, un4, unet_cfg, rt=rt_uncond,
             ffn_lora=ffn_lora if use_ffn_lora else None,
-            ffn_lora_gate=(jnp.broadcast_to(rand["den_ffn_gates"][i], (b4,))
+            ffn_lora_gate=(jnp.broadcast_to(ffn_gate, (b4,))
                            if use_ffn_lora else None))
         eps_cfg = eps * s - jax.lax.stop_gradient(eps_un.astype(x.dtype)) \
             * (s - 1.0)
         x_recon = schedule.predict_start_from_noise(x_t, t, eps_cfg)
-        captured_steps.append(cap)
-        x_recons.append(x_recon)
-        ts.append(t)
         # chain through the DETACHED recon (`x_recon.detach()`, `:2082`)
-        x = jax.lax.stop_gradient(x_recon)
-        if i < n_steps - 1:
-            tf = t[:b].astype(jnp.float32)
-            et = ((tf * ub_f - tf * lb_f) * rand["den_rel_ts"][i]
-                  + tf * lb_f).astype(jnp.int32)
-            t = jnp.tile(et, (4,))
+        x_next = jax.lax.stop_gradient(x_recon)
+        tf = t[:b].astype(jnp.float32)
+        et = ((tf * ub_f - tf * lb_f) * rel_t + tf * lb_f).astype(jnp.int32)
+        t_next = jnp.tile(et, (4,))
+        return (x_next, t_next), (cap, x_recon, t, x_in)
+
+    t0 = jnp.tile(rand["den_t0"], (4,))
+    _, (caps_st, recons_st, ts_st, xins_st) = jax.lax.scan(
+        body, (x_start4, t0),
+        (rand["den_noises"], rel_ts_pad, rand["den_ffn_gates"]))
+    # unstack to the per-step list interface the loss assembly consumes
+    idx = lambda i: (lambda v: v[i])  # noqa: E731
+    captured_steps = [jax.tree_util.tree_map(idx(i), caps_st)
+                      for i in range(n_steps)]
+    x_recons = [recons_st[i] for i in range(n_steps)]
+    ts = [ts_st[i] for i in range(n_steps)]
+    x_inputs = [xins_st[i] for i in range(n_steps)]
     return captured_steps, x_recons, ts, x_inputs
 
 

@@ -72,6 +72,11 @@ class IterationPlanner:
     unet_distill_steps_range: tuple[int, int] = (2, 4)
     # max_num_comp_priming_denoising_steps (`ddpm.py:105`)
     max_priming_steps: int = 4
+    # pin the comp priming count instead of the reference's 3/4
+    # alternation (`ddpm.py:2388`): opt-in compile-budget knob for
+    # relay-constrained environments — halves the number of compiled
+    # comp graphs. None = reference-exact alternation.
+    fixed_comp_priming_steps: int | None = None
     # --- probabilistic-draw knobs (reference ctor defaults) ---
     p_normal_recon_on_pure_noise: float = 0.4  # `ddpm.py:120`
     use_fp_trick: bool = True  # `--use_fp_trick`, default on in README
@@ -161,7 +166,9 @@ class IterationPlanner:
             self.comp_iters += 1
             delta_reg = self.do_prompt_emb_delta_reg
             n_steps = 4
-            n_prime = self.comp_iters % 2 - 1 + self.max_priming_steps
+            n_prime = (self.fixed_comp_priming_steps
+                       if self.fixed_comp_priming_steps is not None
+                       else self.comp_iters % 2 - 1 + self.max_priming_steps)
         else:
             self.non_comp_iters += 1
             if (self.unet_distill_iter_gap > 0

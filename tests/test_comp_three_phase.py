@@ -99,22 +99,115 @@ def test_make_three_phase_comp_step_runs():
                                float(metrics_cb["loss"]), rtol=1e-5)
 
 
+def _shallow_setup(b=2):
+    """Shallow-tower variant of _face_setup for the mesh-equality test
+    (VERDICT r4 #5: at the regular test towers this test cost 17 min on
+    a 1-core host, dominated by trace+compile+8-virtual-device execute
+    of 5 full graphs). Partitioning behavior is depth-independent — the
+    same discipline as the driver dryrun (`__graft_entry__.py`); the
+    (2,2)-config semantics stay covered by the other tests here."""
+    import jax.numpy as jnp
+
+    from adaface_tpu.id2ada.subj_basis_generator import (
+        SubjBasisConfig, init_subj_basis_generator)
+    from adaface_tpu.models.arcface import init_arcface_params
+    from adaface_tpu.models.clip import CLIPTextConfig, init_text_params
+    from adaface_tpu.models.unet import UNetConfig, init_unet_params
+    from adaface_tpu.models.vae import VAEConfig, init_vae_params
+    from adaface_tpu.text.embedding_manager import (EmbeddingManager,
+                                                    PlaceholderSpec)
+    from adaface_tpu.text.tokenizer import CLIPTokenizer
+    from adaface_tpu.train.prompt_batch import (build_comp_prompt_batch,
+                                                make_comp_rep_prompts)
+
+    d, hw, k_id = 32, 8, 4  # decode px = 32; detector min_size below
+    clip_cfg = CLIPTextConfig(hidden_size=d, num_layers=2, num_heads=2,
+                              intermediate_size=64)
+    unet_cfg = UNetConfig(block_channels=(8, 16), layers_per_block=1,
+                          cross_attn_dim=d, num_heads=2, norm_groups=4,
+                          lora_rank=2, lora_alpha=1, time_embed_dim=32,
+                          down_has_attn=(True, True),
+                          up_has_attn=(True, True),
+                          transformer_depth=(1, 1))
+    sbg_cfg = SubjBasisConfig(num_id_vecs=k_id, output_dim=d, clip=clip_cfg)
+    vae_cfg = VAEConfig(base_ch=8, ch_mult=(1, 2, 2), num_res_blocks=1,
+                        norm_groups=4)
+    rng = jax.random.PRNGKey(0)
+    tok = CLIPTokenizer.character_fallback()
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", k_id)])
+    sbg = init_subj_basis_generator(jax.random.fold_in(rng, 1), sbg_cfg,
+                                    tokenizer=tok)
+    frozen = {
+        "unet": init_unet_params(jax.random.fold_in(rng, 2), unet_cfg),
+        "text_encoder": init_text_params(jax.random.fold_in(rng, 3),
+                                         clip_cfg),
+        "sbg_buffers": sbg["buffers"],
+        "vae": init_vae_params(jax.random.fold_in(rng, 4), vae_cfg),
+        "arcface": init_arcface_params(jax.random.fold_in(rng, 5),
+                                       use_se=False, layers=(1, 1, 1, 1)),
+    }
+    trainable = {"sbg": sbg["params"]}
+    ph = em.expand_placeholder(em.placeholders[0])
+    ss = [f"a photo of {ph}"] * b
+    sc = [f"a photo of {ph} riding a bike"] * b
+    sc_rep = make_comp_rep_prompts(sc, ["cinematic"] * b,
+                                   ["riding a bike"] * b)
+    pb = build_comp_prompt_batch(em, ss, sc, sc_rep,
+                                 ["a photo of person"] * b,
+                                 ["a photo of person riding a bike"] * b)
+    key = jax.random.PRNGKey(42)
+    px = hw * vae_cfg.spatial_scale
+    batch = {
+        "x_start": jax.random.normal(jax.random.fold_in(key, 0),
+                                     (b, 4, hw, hw)),
+        "noise": jax.random.normal(jax.random.fold_in(key, 1),
+                                   (b, 4, hw, hw)),
+        "img_prompt_embs": jax.random.normal(jax.random.fold_in(key, 2),
+                                             (b, k_id, d)),
+        "prompt_ids": jnp.asarray(pb["prompt_ids"]),
+        "splice_map": jnp.asarray(pb["splice_map"]),
+        "prompt_emb_mask": jnp.asarray(pb["prompt_emb_mask"]),
+        "prompt_pad_mask": jnp.asarray(pb["prompt_pad_mask"]),
+        "uncond_ids": jnp.asarray(pb["uncond_ids"]),
+        "fg_mask": jnp.ones((b, 1, hw, hw)).at[:, :, :, hw // 2:].set(0.0),
+        "ss_face_bboxes": jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * b),
+        "sc_face_bboxes": jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * b),
+        "sc_fg_mask_percent": jnp.float32(0.4),
+        "ref_images": jnp.clip(jax.random.normal(
+            jax.random.fold_in(key, 3), (b, 3, px, px)) * 0.3, -1, 1),
+        "ref_face_bboxes": jnp.tile(jnp.asarray(
+            [[px * 0.125, px * 0.125, px * 0.625, px * 0.625]]), (b, 1)),
+        "ref_face_detected": jnp.ones((b,)),
+        "comp_sc_face_detected_mean": jnp.float32(0.9),
+        "comp_sc_face_detected_n": jnp.float32(10.0),
+    }
+    cfg = TrainConfig(unet=unet_cfg, sbg=sbg_cfg, clip_text=clip_cfg,
+                      training_perturb_prob=0.0)
+    ccfg = CompDistillConfig(num_priming_steps=1, num_denoising_steps=2,
+                             compute_dtype="float32", vae_cfg=vae_cfg)
+    return frozen, trainable, batch, cfg, ccfg
+
+
 def test_three_phase_dp_tp_mesh_matches_single_device():
-    """The comp three-phase step over a dp=4 × tp=2 mesh must equal the
+    """The comp three-phase step over a dp=2 × tp=2 mesh must equal the
     single-device callback-mode step (VERDICT r3 #5: this graph's mesh
     path was exercised only by the driver dryrun before; mirrors
-    test_recon_step.test_recon_v2_dp_mesh_matches_single_device)."""
+    test_recon_step.test_recon_v2_dp_mesh_matches_single_device).
+    Shallow towers + dp=2×tp=2 / b=2 / 1-prime keep this re-runnable on
+    1-core hosts (VERDICT r4 #5); the driver dryrun covers dp=4×tp=2
+    every round."""
     from adaface_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
     from adaface_tpu.train.optimizers import make_optimizer
     from adaface_tpu.train.train_step import init_state, make_train_step
 
-    frozen, trainable, batch = _face_setup(b=4)
-    det = HostFaceDetector(detector_fn=_center_detector)
+    frozen, trainable, batch, cfg, ccfg = _shallow_setup(b=2)
+    # 32-px decode frames: the quarter-box detector yields 16-px faces —
+    # lower the full-res min_size accordingly
+    det = HostFaceDetector(detector_fn=_center_detector, min_size=8)
     sched = DiffusionSchedule.create()
-    cfg, ccfg = _cfg(), _ccfg()
     opt = make_optimizer("adamw", 1e-3)
     state = init_state(trainable, opt)
-    mesh = make_mesh(dp=4, tp=2)
+    mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
     with mesh:
         frozen_sharded = {
             k: (shard_params(v, mesh) if k in ("unet", "text_encoder")

@@ -34,11 +34,18 @@ VAE_CFG = VAEConfig(base_ch=32, ch_mult=(1, 2), num_res_blocks=1,
 
 def _stub_modules():
     if "torchvision" not in sys.modules:
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
         tvu = types.ModuleType("torchvision.utils")
         tvu.make_grid = lambda *a, **k: None
         tvu.draw_bounding_boxes = lambda *a, **k: None
         tv.utils = tvu
+        # transformers probes `torchvision.__spec__` for availability —
+        # a spec-less stub makes IT fail ("torchvision.__spec__ is None")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+        tvu.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.utils", None)
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tvu
     if "omegaconf" not in sys.modules:

@@ -266,8 +266,10 @@ def test_iteration_planner_distill_steps_range():
     (`--max_num_unet_distill_denoising_steps`)."""
     p = IterationPlanner(unet_distill_iter_gap=1,
                          unet_distill_steps_range=(2, 3))
-    steps = [p.plan(i).num_denoising_steps for i in range(40)
-             if p.plan(i).iter_type == "unet_distill"]
+    # plan() is stateful (round-robin counters): call it ONCE per step
+    flags = [p.plan(i) for i in range(40)]
+    steps = [f.num_denoising_steps for f in flags
+             if f.iter_type == "unet_distill"]
     assert steps and all(2 <= s <= 3 for s in steps)
     assert {2, 3} == set(steps)  # both buckets exercised
 
