@@ -637,15 +637,23 @@ def main():
         if out is not None:
             results[out["metric"]] = out
     if "recon_train_step_throughput" in results:
-        doc = dict(results["recon_train_step_throughput"])
+        out_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "BENCH_train.json")
+        # MERGE into the existing record: a partial run (e.g. `recon`)
+        # must not drop entries other runs recorded (e.g. comp)
+        doc = {}
+        try:
+            with open(out_path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            pass
+        doc.update(results["recon_train_step_throughput"])
         doc["date"] = time.strftime("%Y-%m-%d")
         for k in ("recon_train_step_throughput_pipelined",
                   "unet_distill_step_throughput",
                   "comp_distill_step_throughput"):
             if k in results:
                 doc[k] = results[k]
-        out_path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "docs", "BENCH_train.json")
         try:
             with open(out_path, "w") as f:
                 json.dump(doc, f, indent=1)

@@ -114,6 +114,33 @@ def build_and_train(cfg: dict, args):
         trainable = {"sbg": [e.subj_basis_generator["params"] for e in encs]}
         sbg_cfg = tuple(e.sbg_cfg for e in encs)
 
+    # ArcFace identity-loss tower (`ddpm.py:664-672` wires ArcFaceWrapper
+    # when the align-loss weights are nonzero; without it the trainer
+    # gates the whole identity family off). `model.arcface_ckpt` loads
+    # converted real weights (models/arcface-resnet18_110.pth via
+    # convert_arcface_state_dict); absent that, random-init keeps the
+    # loss plumbing live — meaningful only once real weights land.
+    model_cfg2 = cfg.get("model", {})
+    if model_cfg2.get("use_identity_losses", True):
+        from adaface_tpu.models.arcface import (convert_arcface_state_dict,
+                                                init_arcface_params)
+
+        arc_path = model_cfg2.get("arcface_ckpt")
+        with jax.default_device(cpu):
+            if arc_path:
+                from adaface_tpu.tools.ckpt_lib import load_state_dict
+
+                frozen["arcface"] = convert_arcface_state_dict(
+                    load_state_dict(arc_path))
+                print(f"loaded arcface tower from {arc_path}")
+            else:
+                frozen["arcface"] = init_arcface_params(
+                    jax.random.fold_in(rng, 6))
+                print("WARNING: no model.arcface_ckpt — identity losses "
+                      "run with a RANDOM-INIT ArcFace tower (plumbing "
+                      "only; pass the converted arcface-resnet18 ckpt "
+                      "for meaningful identity gradients)")
+
     if args.comp_unet_weight_path:
         # separate UNet weights for comp-distill iterations, hot-swapped on
         # iteration-type switch (`ddpm.py:472-483`; e.g. SAR/RealisticVision)
