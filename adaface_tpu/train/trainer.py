@@ -92,6 +92,7 @@ class TrainerConfig:
     # (`--max_num_unet_distill_denoising_steps`, `README.md:80-83`)
     unet_distill_steps_range: tuple = (2, 4)
     sample_every: int = 0  # decode + log recon previews every N steps
+    echo_every: int = 50  # console echo cadence for the metrics logger
     # full-UNet finetuning (`v1-finetune-unet.yaml` / unfreeze_model=true):
     # the UNet moves into the trainable set and ckpts export it as fp16
     # safetensors (`ddpm.py:4041-4062`)
@@ -199,20 +200,26 @@ class Trainer:
         # reference's rank_zero_only / rank-prefixed logging)
         is_rank0 = jax.process_index() == 0
         self.logger = MetricsLogger(cfg.log_dir, echo=is_rank0,
+                                    echo_every=cfg.echo_every,
                                     write=is_rank0,
                                     use_wandb=cfg.use_wandb)
         self.face_stats = RollingStats(("face_detected",))
         self.profiler = (ProfilerHook(cfg.log_dir)
                          if cfg.profile and is_rank0 else None)
         self.sample_logger = None
+        self._sample_decode = None
         if cfg.sample_every and is_rank0:
             from adaface_tpu.utils.sample_logger import SampleLogger
 
             self.sample_logger = SampleLogger(cfg.log_dir)
 
         self._steps = {}
+        # honor a non-default VAE config (tiny test towers / SDXL latents);
+        # the recon step carries it as recon_cfg.vae_cfg
+        self._vae_cfg = cfg.recon_cfg.vae_cfg or SD_VAE
         self._vae_encode = jax.jit(
-            lambda p, x: vae_encode(p, x, SD_VAE)) if vae_params else None
+            lambda p, x: vae_encode(p, x, self._vae_cfg)) if vae_params \
+            else None
         # host-pinned copies for the weight hot-swap
         self._base_unet_host = jax.tree_util.tree_map(np.asarray, frozen["unet"]) \
             if "comp_unet" in frozen else None
@@ -503,7 +510,8 @@ class Trainer:
         return device_batch
 
     # ---------------------------------------------------------------- run
-    def _batch_iterator(self, dataset: PersonalizedBase, num_steps: int):
+    def _batch_iterator(self, dataset: PersonalizedBase, num_steps: int,
+                        start_step: int = 0):
         """Yields (step, flags, batch) in deterministic step order.
 
         With cfg.prefetch > 0 a daemon thread runs this host-side prep
@@ -518,7 +526,7 @@ class Trainer:
                                      seed=self.cfg.seed)
             it = iter(sampler)
             rng = jax.random.PRNGKey(self.cfg.seed)
-            for step in range(num_steps):
+            for step in range(start_step, start_step + num_steps):
                 flags = self.planner.plan(step)
                 idxs = [next(it) for _ in range(self.cfg.batch_size)]
                 examples = [dataset[i] for i in idxs]
@@ -605,15 +613,30 @@ class Trainer:
             self.profiler.maybe_start_stop(step)
         if (self.sample_logger is not None and self.vae_params is not None
                 and (step + 1) % self.cfg.sample_every == 0):
-            from adaface_tpu.models.vae import vae_decode
+            # jit the preview decode: eager op-by-op dispatch through the
+            # axon relay costs minutes for a conv tower (verify skill
+            # "device-side init" note); one small compiled program instead
+            if self._sample_decode is None:
+                from adaface_tpu.models.vae import vae_decode
 
-            imgs = vae_decode(self.vae_params, batch["x_start"])
+                self._sample_decode = jax.jit(
+                    lambda p, z: vae_decode(p, z, self._vae_cfg))
+            imgs = self._sample_decode(self.vae_params, batch["x_start"])
             imgs = (np.asarray(imgs, np.float32) + 1) / 2
             self.sample_logger.log(step, flags.iter_type, imgs)
         if self.cfg.ckpt_every and (step + 1) % self.cfg.ckpt_every == 0:
             self.save(step + 1)
 
-    def fit(self, dataset: PersonalizedBase, num_steps: int | None = None):
+    def fit(self, dataset: PersonalizedBase, num_steps: int | None = None,
+            start_step: int = 0):
+        """Run `num_steps` optimizer steps numbered from `start_step`.
+
+        `start_step > 0` (a `-r` resume) continues the global-step
+        numbering: the iteration planner resumes the same stage mix at
+        that step, checkpoints are named `embeddings_gs-<global>` so a
+        resumed run never collides with the ckpt it warm-started from,
+        and per-step seeds match what an uninterrupted run would draw.
+        Optimizer state still restarts by design (`README.md:72`)."""
         num_steps = num_steps or self.cfg.max_steps
         metrics = {}
         self._nan_streak = 0
@@ -638,7 +661,8 @@ class Trainer:
                 self._post_step(pend[0], pend[1], metrics, pend[2])
             runner, runner_fn, pend = None, None, None
 
-        for step, flags, batch in self._batch_iterator(dataset, num_steps):
+        for step, flags, batch in self._batch_iterator(dataset, num_steps,
+                                                       start_step):
             if flags.switch_weights:
                 flush_runner()  # pending collect read the OLD weights
                 self._hot_swap_unet(flags.use_comp_distill_weights)

@@ -77,9 +77,16 @@ class MetricsLogger:
                             step=step)
         row = {"step": step, "wall_time": round(time.time() - self._t0, 2)}
         row.update({k: float(v) for k, v in metrics.items()})
-        write_header = self._fieldnames is None or not os.path.exists(self.path)
+        exists = os.path.exists(self.path) and os.path.getsize(self.path) > 0
+        write_header = self._fieldnames is None and not exists
         if self._fieldnames is None:
-            self._fieldnames = list(row.keys())
+            if exists:
+                # resumed run appending to an existing CSV: adopt its
+                # header instead of writing a second one mid-file
+                with open(self.path) as f:
+                    self._fieldnames = f.readline().strip().split(",")
+            else:
+                self._fieldnames = list(row.keys())
         # tolerate new keys by re-syncing fieldnames
         for k in row:
             if k not in self._fieldnames:

@@ -320,6 +320,56 @@ def test_batch_prefetch_deterministic(toy_dataset, tmp_path):
                                           np.asarray(b1[k]), err_msg=k)
 
 
+def test_trainer_fit_start_step_resume_numbering(toy_dataset, tmp_path):
+    """`fit(start_step=N)` (the `-r` resume path in train.py) continues
+    the global-step numbering: metric rows and checkpoint names pick up
+    where the interrupted run stopped instead of colliding with its
+    `embeddings_gs-*` dirs."""
+    import csv
+    import os
+
+    rng = jax.random.PRNGKey(0)
+    tok = CLIPTokenizer.character_fallback()
+    k_id = 16
+    em = EmbeddingManager(tok, [PlaceholderSpec("z", k_id)])
+    encoder = Arc2FaceID2AdaPrompt(
+        jax.random.fold_in(rng, 1),
+        face_backend=DeterministicBackend(),
+        clip_vision_cfg=SMALL_VISION, sbg_clip_cfg=SMALL_CLIP,
+        text_cfg=SMALL_CLIP, output_dim=D, is_training=True)
+    unet = init_unet_params(jax.random.fold_in(rng, 3), UNET_CFG)
+    text = init_text_params(jax.random.fold_in(rng, 4), SMALL_CLIP)
+    frozen = {"unet": unet, "text_encoder": text,
+              "sbg_buffers": encoder.subj_basis_generator["buffers"]}
+    trainable = {"sbg": encoder.subj_basis_generator["params"]}
+    cfg = TrainerConfig(
+        log_dir=str(tmp_path / "logs"), batch_size=2, max_steps=2,
+        accum_steps=1, ckpt_every=2, optimizer="adamw", lr=1e-4,
+        warmup_steps=1, comp_distill_iter_gap=0, unet_distill_iter_gap=0,
+        image_size=128, num_vectors_per_subj_token=k_id)
+    train_cfg = TrainConfig(unet=UNET_CFG, sbg=encoder.sbg_cfg,
+                            clip_text=SMALL_CLIP)
+    trainer = Trainer(cfg, train_cfg, frozen, trainable, encoder, em,
+                      vae_params=None)
+    ds = PersonalizedBase(toy_dataset, num_vectors_per_subj_token=k_id,
+                          size=128, seed=0)
+    trainer.fit(ds, num_steps=2)
+    ck = Trainer.latest_ckpt(cfg.log_dir)
+    assert ck.endswith("embeddings_gs-2")
+
+    # resumed run: warm-start, continue at global step 2
+    trainer2 = Trainer(cfg, train_cfg, frozen, trainable, encoder, em,
+                       vae_params=None)
+    start = trainer2.load(ck)
+    assert start == 2
+    metrics = trainer2.fit(ds, num_steps=2, start_step=start)
+    assert np.isfinite(float(metrics["loss"]))
+    assert Trainer.latest_ckpt(cfg.log_dir).endswith("embeddings_gs-4")
+    with open(os.path.join(cfg.log_dir, "metrics.csv")) as f:
+        steps = [int(r["step"]) for r in csv.DictReader(f)]
+    assert steps[-2:] == [2, 3]
+
+
 def test_trainer_fit_overlap_recon_collect(toy_dataset, tmp_path, monkeypatch):
     """Trainer.fit with overlap_recon_collect=True: consecutive two-phase
     recon steps stream through make_pipelined_recon_runner. Regression for

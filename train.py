@@ -200,18 +200,23 @@ def build_and_train(cfg: dict, args):
 
     trainer = Trainer(trainer_cfg, train_cfg, frozen, trainable, encoder, em,
                       vae_params=vae, teacher=teacher, comp_cfg=comp_cfg)
+    start_step = 0
     if args.resume:
         # `-r logdir` resume: warm-start from the newest ckpt in log_dir
-        # (`main.py:547-565`; optimizer restarts by design, README.md:72)
+        # (`main.py:547-565`; optimizer restarts by design, README.md:72).
+        # Global-step numbering continues from the ckpt so the iteration
+        # plan resumes in place and checkpoints never collide.
         ck = Trainer.latest_ckpt(args.log_dir)
         if ck is None:
             print(f"no checkpoint under {args.log_dir}, starting fresh")
         else:
-            trainer.load(ck, extend_mkv_multiplier=args.extend_mkv_multiplier)
+            start_step = trainer.load(
+                ck, extend_mkv_multiplier=args.extend_mkv_multiplier)
     elif args.adaface_ckpt_path:
         trainer.load(args.adaface_ckpt_path,
                      extend_mkv_multiplier=args.extend_mkv_multiplier)
-    trainer.fit(dataset, num_steps=args.max_steps or trainer_cfg.max_steps)
+    trainer.fit(dataset, num_steps=args.max_steps or trainer_cfg.max_steps,
+                start_step=start_step)
 
 
 def main():
