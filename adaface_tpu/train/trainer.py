@@ -133,6 +133,11 @@ class TrainerConfig:
     # `ddpm.py:2388`): opt-in compile-budget knob — halves the comp graph
     # count on relay-constrained backends (see iteration_plan.py)
     fixed_comp_priming_steps: int | None = None
+    # probability a recon-on-image iteration uses the comp_distill FFN
+    # adapter (`ddpm.py:2319-2325`, reference ~25%); None → planner
+    # default. 0 pins recon to ONE graph variant — the same
+    # compile-budget knob family as fixed_comp_priming_steps
+    p_recon_ffn_comp_adapter: float | None = None
 
 
 class Trainer:
@@ -175,6 +180,9 @@ class Trainer:
         if cfg.fixed_comp_priming_steps is not None:
             planner_kwargs["fixed_comp_priming_steps"] = \
                 cfg.fixed_comp_priming_steps
+        if cfg.p_recon_ffn_comp_adapter is not None:
+            planner_kwargs["p_recon_ffn_comp_adapter"] = \
+                cfg.p_recon_ffn_comp_adapter
         self.planner = IterationPlanner(
             comp_distill_iter_gap=cfg.comp_distill_iter_gap,
             unet_distill_iter_gap=cfg.unet_distill_iter_gap,
