@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from adaface_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()  # reload the UNet-loop executable across runs
+
 BASELINE_IMGS_PER_SEC = 2000.0 / 3600.0
 
 

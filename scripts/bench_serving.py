@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from adaface_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 SLOTS = int(os.environ.get("BENCH_SERVE_SLOTS", "16"))
 REQS = int(os.environ.get("BENCH_SERVE_REQS", "48"))
 STEPS = int(os.environ.get("BENCH_SERVE_STEPS", "25"))

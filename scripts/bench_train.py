@@ -45,6 +45,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from adaface_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()  # phase subprocesses reload instead of recompiling
+
 BATCH = int(os.environ.get("BENCH_TRAIN_BS", "4"))
 COMP_BATCH = int(os.environ.get("BENCH_TRAIN_COMP_BS", "1"))
 ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "5"))

@@ -10,20 +10,16 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import os
 
 import jax
 import yaml
 
-# persistent XLA compile cache: train-graph compiles cost minutes (the
-# comp-distill program ~17 min through the relay's compile helper); on
-# backends that support executable serialization a resumed/re-launched
-# run skips every recompile. Harmless (a warning) where unsupported.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("ADAFACE_COMPILE_CACHE",
-                   os.path.expanduser("~/.cache/adaface_tpu_xla")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+# persistent XLA compile cache: a resumed/re-launched run reloads its
+# train graphs instead of recompiling (minutes each) where the backend
+# supports executable serialization (utils/compile_cache.py)
+from adaface_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def apply_dotlist(cfg: dict, overrides: list[str]) -> dict:
